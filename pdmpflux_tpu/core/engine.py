@@ -1,0 +1,419 @@
+"""The PDMP event engine: one flat, jit-compiled transition state machine.
+
+The reference drives each event with three nested, unbounded ``while`` loops
+(``/root/reference/src/SamplingLoopInplace.jl:27-217`` and the sticky variant
+``StickySamplingLoop.jl:13-164``).  That shape is hostile to SPMD hardware:
+under ``vmap`` every lane would wait for the slowest lane's event.
+
+Here the entire control flow is flattened into a single pure function
+
+    ``transition(state) -> (state', event)``
+
+that advances a chain by exactly one *transition* — one bound build + one
+thinning decision (or a horizon move / stick / thaw).  All branches are
+evaluated densely and combined with ``jnp.where`` (on SIMD hardware every
+vmap lane pays for every branch regardless, so predication is free), and the
+envelope is *recomputed* instead of cached: it is a deterministic pure
+function of ``(x, v_active, bound_h)``, so rebuilding it after a rejection
+reproduces the reference's cached ``BoundBox`` bit-for-bit within a compiled
+program, while keeping the state a small fixed pytree.
+
+Mode bookkeeping replaces loop positions (see ``types.MODE_*``):
+
+* ``FRESH``      — next ``tp > horizon`` triggers ``move_to_horizon!`` with
+  adaptive growth ×1.01 (SamplingLoopInplace.jl:87-101);
+* ``REJECTED``   — cumulative ``exp_rv``; ``tp > horizon`` triggers
+  ``move_to_horizon2!`` (no growth, :205-217);
+* ``ERRONEOUS``  — proposal from a half-horizon rebuild after a bound
+  violation (:131-151); ``tp > horizon`` resets without flowing (the
+  reference exits the inner loop without moving).
+
+Event transitions (accept / stick / thaw) commit time with Kahan
+compensation and emit an ``Event`` record; drivers below scatter those into
+preallocated ``Skeleton`` buffers at per-chain indices, so no lane ever
+waits for another lane's event (the "transition stream" design).
+
+Documented deviations from the reference (law-affecting reference bugs are
+fixed, envelope-side quirks are preserved — envelope slack never changes the
+sampled law, only efficiency):
+
+* thaw events commit ``t += tt + ts`` rather than dropping the accumulated
+  ``ts`` (``StickySamplingLoop.jl:160`` adds only ``tt`` — a time-accounting
+  bug);
+* the sticky axis-hit time uses the exact ``-x_j / v_j`` rather than
+  ``-x_j * v_j`` (StickySamplingLoop.jl:79 assumes unit speeds; identical
+  when ``|v_j| == 1``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import bounds
+from .types import (
+    EV_JUMP,
+    EV_NONE,
+    EV_STICK,
+    EV_THAW,
+    MODE_ERRONEOUS,
+    MODE_FRESH,
+    MODE_REJECTED,
+    ERROR_RING_SIZE,
+    Event,
+    PDMPState,
+    Skeleton,
+    empty_skeleton,
+    event_from_state,
+    kahan_add,
+)
+
+HORIZON_GROW = 1.01   # move_to_horizon!       (SamplingLoopInplace.jl:98)
+HORIZON_SHRINK = 1.04 # if_reject!             (SamplingLoopInplace.jl:194)
+# erroneous_acceptance_rate! halves             (SamplingLoopInplace.jl:131-151)
+
+
+def _bcast(pred, like):
+    """Broadcast a scalar predicate against an array for jnp.where."""
+    return jnp.reshape(pred, pred.shape + (1,) * (like.ndim - pred.ndim))
+
+
+def tree_select(pred, on_true, on_false):
+    """Leafwise ``where`` with a per-chain boolean (used to freeze done chains)."""
+    return jax.tree.map(
+        lambda a, b: jnp.where(_bcast(pred, a), a, b), on_true, on_false
+    )
+
+
+def make_transition(sampler) -> Callable[[PDMPState], tuple]:
+    """Build the single-chain transition function for ``sampler``.
+
+    Batch over chains with ``jax.vmap``; the function is fully pure.
+    """
+    sticky = sampler.sticky
+    adaptive = sampler.adaptive
+    flow = sampler.flow
+    rate_fn = sampler.rate
+    bound_fn = sampler.bound_box
+    jump_fn = sampler.velocity_jump
+
+    def draw_tt(key, is_active, dtype):
+        """Thaw clock ``tt ~ Exp(1)/sum(kappa[frozen])`` (StickySamplingLoop.jl:38-44)."""
+        if not sticky:
+            return jnp.asarray(jnp.inf, dtype)
+        kappa = jnp.asarray(sampler.kappa, dtype)
+        rate_thaw = jnp.sum(jnp.where(is_active, 0.0, kappa))
+        e = jax.random.exponential(key, dtype=dtype)
+        return jnp.where(rate_thaw > 0, e / jnp.where(rate_thaw > 0, rate_thaw, 1.0), jnp.inf)
+
+    def transition(state: PDMPState):
+        dtype = state.x.dtype
+        key, k_exp, k_u, k_jump, k_tt, k_thaw = jax.random.split(state.key, 6)
+
+        va = jnp.where(state.is_active, state.v, jnp.zeros_like(state.v))
+
+        # ---- proposal: rebuild envelope + invert at cumulative exp_rv ----
+        box = bound_fn(state.x, va, state.bound_h)
+        tp, lam_bar = bounds.next_event(box, state.exp_rv)
+
+        fresh = state.mode == MODE_FRESH
+        erroneous = state.mode == MODE_ERRONEOUS
+
+        # ---- thinning evaluation at tp (ac_step!, :113-129) --------------
+        tp_safe = jnp.where(jnp.isfinite(tp), tp, jnp.zeros((), dtype))
+        lam_t = rate_fn(state.x, va, tp_safe)
+        # Raw ratio: inf / nan semantics intentionally match the reference
+        # (ar > 1 -> erroneous; rand() < nan -> reject).
+        ar_new = lam_t / lam_bar
+
+        min_pt = jnp.minimum(tp, state.tt)
+
+        # ---- sticky: axis-crossing check at a fresh proposal -------------
+        if sticky:
+            event_time = jnp.minimum(min_pt, state.horizon)
+            x_probe, _ = flow(state.x, va, event_time)
+            any_crossing = jnp.any(state.x * x_probe < 0)
+            v_safe = jnp.where(va == 0, jnp.ones_like(va), va)
+            tj = jnp.where(
+                state.is_active & (state.x * state.v < 0) & (va != 0),
+                -state.x / v_safe,
+                jnp.inf,
+            )
+            t_togo = jnp.min(tj)
+            i_stick = jnp.argmin(tj)
+            crossed = fresh & any_crossing & jnp.isfinite(t_togo)
+        else:
+            crossed = jnp.zeros((), bool)
+            t_togo = jnp.zeros((), dtype)
+            i_stick = jnp.zeros((), jnp.int32)
+
+        # ---- branch predicates (mutually exclusive, exhaustive) ----------
+        beyond = min_pt > state.horizon
+        p_stick = crossed
+        p_moveh = (~crossed) & beyond & (~erroneous)
+        p_erreset = (~crossed) & beyond & erroneous
+        thin = (~crossed) & (~beyond)
+        if sticky:
+            p_thaw = thin & (state.tt <= tp)
+            p_ac = thin & (tp < state.tt)
+        else:
+            p_thaw = jnp.zeros((), bool)
+            p_ac = thin
+        p_err = p_ac & (ar_new > 1.0)
+        p_proxy = p_ac & ~p_err
+        u = jax.random.uniform(k_u, dtype=dtype)
+        acc_draw = u < ar_new  # false for nan ar, like Julia rand() < NaN
+        p_acc = p_proxy & acc_draw
+        p_rej = p_proxy & ~acc_draw
+
+        # ---- one flow evaluation at the branch-selected time -------------
+        flow_time = jnp.where(
+            p_stick,
+            t_togo,
+            jnp.where(
+                p_moveh,
+                state.horizon,
+                jnp.where(p_thaw, state.tt, jnp.where(p_acc, tp_safe, 0.0)),
+            ),
+        )
+        x_f, v_f = flow(state.x, va, flow_time)
+        does_flow = p_stick | p_moveh | p_thaw | p_acc
+        x_new = jnp.where(_bcast(does_flow, x_f), x_f, state.x)
+        # With frozen coordinates the flowed velocity is the masked one and
+        # must not overwrite the latent full velocity (SamplingLoopInplace.jl:89-94).
+        all_active = jnp.all(state.is_active)
+        v_flowed = jnp.where(all_active, v_f, state.v)
+        v_after = jnp.where(_bcast(does_flow, v_flowed), v_flowed, state.v)
+
+        # ---- velocity jump (if_accept!, :170-186) ------------------------
+        v_jumped = jump_fn(x_new, v_after, k_jump, state.is_active)
+        v_new = jnp.where(_bcast(p_acc, v_jumped), v_jumped, v_after)
+
+        # ---- sticky activity updates -------------------------------------
+        if sticky:
+            kappa = jnp.asarray(sampler.kappa, dtype)
+            act_stick = state.is_active.at[i_stick].set(False)
+            neg_inf = jnp.asarray(-jnp.inf, dtype)
+            logits = jnp.where(state.is_active, neg_inf, jnp.log(kappa))
+            i_thaw = jax.random.categorical(k_thaw, logits)
+            act_thaw = state.is_active.at[i_thaw].set(True)
+            is_active_new = jnp.where(
+                _bcast(p_stick, act_stick),
+                act_stick,
+                jnp.where(_bcast(p_thaw, act_thaw), act_thaw, state.is_active),
+            )
+        else:
+            is_active_new = state.is_active
+
+        # ---- time commitment (Kahan-compensated) -------------------------
+        inc = (
+            jnp.where(p_stick, t_togo, jnp.where(p_thaw, state.tt, tp_safe))
+            + state.ts
+        )
+        t_k, tc_k = kahan_add(state.t, state.t_comp, inc)
+        is_event = p_acc | p_stick | p_thaw
+        t_new = jnp.where(is_event, t_k, state.t)
+        tc_new = jnp.where(is_event, tc_k, state.t_comp)
+        ts_new = jnp.where(
+            is_event,
+            jnp.zeros((), dtype),
+            jnp.where(p_moveh, state.ts + state.horizon, state.ts),
+        )
+
+        # ---- horizon adaptation ------------------------------------------
+        h = state.horizon
+        if adaptive:
+            h = jnp.where(p_moveh & fresh, h * HORIZON_GROW, h)
+            h = jnp.where(p_err, h * 0.5, h)
+            h = jnp.where(p_rej, h / HORIZON_SHRINK, h)
+
+        # ---- counters -----------------------------------------------------
+        hitting = state.hitting_horizon + p_moveh.astype(jnp.int32)
+        rejected = state.rejected + p_rej.astype(jnp.int32)
+        errored = state.errored_bound + p_err.astype(jnp.int32)
+        ring_idx = jnp.mod(errored, ERROR_RING_SIZE)
+        ring_err = state.error_value_ar.at[ring_idx].set(ar_new.astype(dtype))
+        ring = jnp.where(_bcast(p_err, ring_err), ring_err, state.error_value_ar)
+
+        # ---- proposal bookkeeping ----------------------------------------
+        reset = p_stick | p_moveh | p_erreset | p_thaw | p_acc
+        e_draw = jax.random.exponential(k_exp, dtype=dtype)
+        exp_new = jnp.where(
+            reset | p_err,
+            e_draw,
+            jnp.where(p_rej, state.exp_rv + e_draw, state.exp_rv),
+        )
+        mode_new = jnp.where(
+            reset,
+            MODE_FRESH,
+            jnp.where(
+                p_err, MODE_ERRONEOUS, jnp.where(p_rej, MODE_REJECTED, state.mode)
+            ),
+        ).astype(jnp.int32)
+        bound_h_new = jnp.where(
+            reset, h, jnp.where(p_err, state.horizon * 0.5, state.bound_h)
+        )
+        tt_fresh = draw_tt(k_tt, is_active_new, dtype)
+        tt_new = jnp.where(reset, tt_fresh, state.tt)
+        ar_state = jnp.where(p_ac, ar_new.astype(dtype), state.ar)
+
+        new_state = PDMPState(
+            x=x_new,
+            v=v_new,
+            t=t_new,
+            t_comp=tc_new,
+            ts=ts_new,
+            horizon=h,
+            bound_h=bound_h_new,
+            exp_rv=exp_new,
+            tt=tt_new,
+            mode=mode_new,
+            ar=ar_state,
+            is_active=is_active_new,
+            rejected=rejected,
+            errored_bound=errored,
+            hitting_horizon=hitting,
+            error_value_ar=ring,
+            key=key,
+        )
+
+        kind = jnp.where(
+            p_acc,
+            EV_JUMP,
+            jnp.where(p_stick, EV_STICK, jnp.where(p_thaw, EV_THAW, EV_NONE)),
+        ).astype(jnp.int32)
+        event = event_from_state(new_state, kind)
+
+        # Counters reset after each recorded event (get_event_state!, :28-31).
+        zero_i = jnp.zeros((), jnp.int32)
+        new_state = new_state._replace(
+            rejected=jnp.where(is_event, zero_i, new_state.rejected),
+            errored_bound=jnp.where(is_event, zero_i, new_state.errored_bound),
+            hitting_horizon=jnp.where(is_event, zero_i, new_state.hitting_horizon),
+            error_value_ar=jnp.where(
+                _bcast(is_event, ring), jnp.zeros_like(ring), new_state.error_value_ar
+            ),
+        )
+        return new_state, event
+
+    return transition
+
+
+# ---------------------------------------------------------------------------
+# Skeleton buffer scatter
+# ---------------------------------------------------------------------------
+
+def _scatter_event(skel: Skeleton, ev: Event, slot, write_mask) -> Skeleton:
+    """Write batched event records into per-chain slots.
+
+    ``slot``/``write_mask`` are ``(B,)``; records route to
+    ``buf[b, slot[b]]`` with masked-out lanes dropped via an out-of-bounds
+    index (XLA scatter ``mode='drop'``) — the fixed-shape replacement of the
+    reference's ``record!`` column copy (``Composites.jl:239-260``).
+    """
+    B = slot.shape[0]
+    cap = skel.t.shape[1]
+    bidx = jnp.arange(B)
+    eidx = jnp.where(write_mask, slot, cap)  # cap is out of bounds -> dropped
+
+    def w(buf, val):
+        return buf.at[bidx, eidx].set(val, mode="drop")
+
+    return Skeleton(
+        x=w(skel.x, ev.x),
+        v=w(skel.v, ev.v),
+        t=w(skel.t, ev.t),
+        horizon=w(skel.horizon, ev.horizon),
+        ar=w(skel.ar, ev.ar),
+        is_active=w(skel.is_active, ev.is_active),
+        rejected=w(skel.rejected, ev.rejected),
+        errored_bound=w(skel.errored_bound, ev.errored_bound),
+        hitting_horizon=w(skel.hitting_horizon, ev.hitting_horizon),
+        error_value_ar=w(skel.error_value_ar, ev.error_value_ar),
+        kind=w(skel.kind, ev.kind),
+        n_valid=skel.n_valid + write_mask.astype(jnp.int32),
+    )
+
+
+def record_initial(skel: Skeleton, state: PDMPState, kind) -> Skeleton:
+    """Record the batched initial state into slot 0 (reference history col 1)."""
+    B = state.t.shape[0]
+    ev = jax.vmap(lambda s: event_from_state(s, kind))(state)
+    return _scatter_event(skel, ev, jnp.zeros((B,), jnp.int32), jnp.ones((B,), bool))
+
+
+# ---------------------------------------------------------------------------
+# Drivers (transition streams)
+# ---------------------------------------------------------------------------
+
+class RunResult(NamedTuple):
+    state: PDMPState        # batched final state
+    skeleton: Skeleton      # batched event buffers
+    transitions: jax.Array  # () int32 total transitions executed
+
+
+def make_fixed_event_runner(sampler, n_events: int, max_transitions: int):
+    """Runner that collects exactly ``n_events`` skeleton points per chain
+    (including the initial state), the analogue of
+    ``sample_skeleton(sampler, n_sk, ...)`` (``sample.jl:253-284``).
+
+    A chain that has filled its buffer is frozen (its state stops advancing)
+    while the remaining lanes continue — no cross-lane event synchronization.
+    ``max_transitions`` bounds the loop for XLA; overflow is reported via
+    ``RunResult.skeleton.n_valid < n_events`` (SURVEY.md §7 hard part 2).
+    """
+    vtrans = jax.vmap(make_transition(sampler))
+
+    def run(state: PDMPState, skel: Skeleton) -> RunResult:
+        def cond(carry):
+            _, skel, it = carry
+            return (it < max_transitions) & jnp.any(skel.n_valid < n_events)
+
+        def body(carry):
+            state, skel, it = carry
+            live = skel.n_valid < n_events
+            new_state, ev = vtrans(state)
+            new_state = tree_select(live, new_state, state)
+            write = live & (ev.kind > 0)
+            skel = _scatter_event(skel, ev, skel.n_valid, write)
+            return new_state, skel, it + 1
+
+        state, skel, it = jax.lax.while_loop(
+            cond, body, (state, skel, jnp.zeros((), jnp.int32))
+        )
+        return RunResult(state, skel, it)
+
+    return run
+
+
+def make_horizon_runner(sampler, capacity: int, max_transitions: int):
+    """Runner for time-horizon sampling: advance every chain until its event
+    clock passes ``T`` (the overshoot event is recorded; the exact ``t = T``
+    terminal point is synthesized by the driver), the engine analogue of
+    ``sample_skeleton(sampler, T, ...)`` (``sample.jl:323-439``).
+    """
+    vtrans = jax.vmap(make_transition(sampler))
+
+    def run(state: PDMPState, skel: Skeleton, T) -> RunResult:
+        def cond(carry):
+            state, skel, it = carry
+            live = (state.t < T) & (skel.n_valid < capacity)
+            return (it < max_transitions) & jnp.any(live)
+
+        def body(carry):
+            state, skel, it = carry
+            live = (state.t < T) & (skel.n_valid < capacity)
+            new_state, ev = vtrans(state)
+            new_state = tree_select(live, new_state, state)
+            write = live & (ev.kind > 0)
+            skel = _scatter_event(skel, ev, skel.n_valid, write)
+            return new_state, skel, it + 1
+
+        state, skel, it = jax.lax.while_loop(
+            cond, body, (state, skel, jnp.zeros((), jnp.int32))
+        )
+        return RunResult(state, skel, it)
+
+    return run

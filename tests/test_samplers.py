@@ -1,0 +1,183 @@
+"""Per-sampler unit + statistical tests.
+
+Mirrors ``/root/reference/test/test_samplers.jl``: constructor fields,
+skeleton finiteness, posterior moment checks on the 1-D/N-D Gaussian
+(mean within +-0.5, variance in (0.5, 2.0) — test_samplers.jl:51-54),
+time-horizon exactness, and seed determinism (test_quick.jl:96-108).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pdmpflux_tpu as pf
+from pdmpflux_tpu.utils import potentials
+
+DIM = 3
+N_SK = 1500
+N_SAMPLES = 4000
+
+
+def _moment_check(samples, mean_tol=0.5, var_lo=0.5, var_hi=2.0):
+    s = np.asarray(samples)
+    assert np.all(np.isfinite(s))
+    assert np.all(np.abs(s.mean(axis=0)) < mean_tol)
+    v = s.var(axis=0)
+    assert np.all(v > var_lo) and np.all(v < var_hi)
+
+
+def _run(sampler, dim=DIM, n_sk=N_SK, seed=42, x0=None, v0=None):
+    x0 = np.zeros(dim) if x0 is None else x0
+    v0 = np.ones(dim) if v0 is None else v0
+    skel = pf.sample_skeleton(sampler, n_sk, x0, v0, seed=seed)
+    t = np.asarray(skel.t)
+    assert np.all(np.isfinite(np.asarray(skel.x)))
+    assert np.all(np.diff(t) >= 0), "event times must be monotone"
+    samples = pf.sample_from_skeleton(sampler, N_SAMPLES, skel)
+    return skel, samples
+
+
+def test_zigzag_gaussian_moments():
+    sampler = pf.ZigZagAD(DIM, potentials.gauss)
+    skel, samples = _run(sampler)
+    _moment_check(samples)
+
+
+def test_zigzag_manual_gradient():
+    sampler = pf.ZigZag(DIM, lambda x: x)  # grad of |x|^2/2
+    skel, samples = _run(sampler)
+    _moment_check(samples)
+
+
+def test_zigzag_constant_bound():
+    sampler = pf.ZigZag(DIM, lambda x: x, grid_size=0)
+    skel, samples = _run(sampler)
+    _moment_check(samples)
+
+
+def test_zigzag_unsigned_unvectorized():
+    sampler = pf.ZigZagAD(DIM, potentials.gauss, vectorized_bound=False,
+                          signed_bound=False)
+    skel, samples = _run(sampler)
+    _moment_check(samples)
+
+
+def test_bps_gaussian_moments():
+    sampler = pf.BPS(DIM, lambda x: x, refresh_rate=0.5)
+    skel, samples = _run(sampler)
+    _moment_check(samples)
+
+
+def test_boomerang_gaussian_moments():
+    # On the standard Gaussian the effective gradient vanishes: pure
+    # rotations + refreshes exactly preserve N(0, I).
+    sampler = pf.Boomerang(DIM, lambda x: x, refresh_rate=0.5)
+    skel, samples = _run(sampler, v0=np.random.default_rng(0).normal(size=DIM))
+    _moment_check(samples)
+
+
+def test_ecmc_gaussian_moments():
+    sampler = pf.ForwardECMCAD(DIM, potentials.gauss)
+    v0 = np.ones(DIM) / np.sqrt(DIM)  # unit speed, as in test_quick.jl
+    skel, samples = _run(sampler, v0=v0)
+    _moment_check(samples, var_lo=0.4)
+
+
+def test_rhmc_gaussian_moments():
+    sampler = pf.RHMCAD(DIM, potentials.gauss, refresh_rate=1.0, step_size=0.1)
+    skel, samples = _run(
+        sampler, n_sk=600, v0=np.random.default_rng(1).normal(size=DIM)
+    )
+    _moment_check(samples)
+
+
+def test_speedup_zigzag_runs():
+    sampler = pf.SpeedUpZigZagAD(DIM, potentials.gauss)
+    skel, samples = _run(sampler, n_sk=800)
+    s = np.asarray(samples)
+    assert np.all(np.isfinite(s))
+    assert np.all(np.abs(s.mean(axis=0)) < 0.8)
+
+
+def test_seed_determinism():
+    s1 = pf.ZigZagAD(DIM, potentials.gauss)
+    s2 = pf.ZigZagAD(DIM, potentials.gauss)
+    sk1 = pf.sample_skeleton(s1, 300, np.zeros(DIM), np.ones(DIM), seed=7)
+    sk2 = pf.sample_skeleton(s2, 300, np.zeros(DIM), np.ones(DIM), seed=7)
+    np.testing.assert_array_equal(np.asarray(sk1.t), np.asarray(sk2.t))
+    np.testing.assert_array_equal(np.asarray(sk1.x), np.asarray(sk2.x))
+    sk3 = pf.sample_skeleton(s1, 300, np.zeros(DIM), np.ones(DIM), seed=8)
+    assert not np.array_equal(np.asarray(sk1.t), np.asarray(sk3.t))
+
+
+def test_time_horizon_exact_terminal():
+    sampler = pf.ZigZagAD(DIM, potentials.gauss)
+    T = 30.0
+    skel = pf.sample_skeleton(sampler, T, np.zeros(DIM), np.ones(DIM), seed=2)
+    t = np.asarray(skel.t)
+    assert t[-1] == T
+    assert np.all(np.diff(t) >= 0)
+    assert int(skel.kind[-1]) == pf.EV_TERMINAL
+    assert float(skel.ar[-1]) == 0.0  # zeroed stats at the synthetic point
+    # all real events strictly below T
+    assert np.all(t[:-1] < T)
+
+
+def test_aliased_gradient_does_not_corrupt_state():
+    # Regression guard mirroring test_samplers.jl:124-138: grad_U(x) = x must
+    # not let any in-place math corrupt the chain (JAX arrays are immutable,
+    # but the ECMC normalization path is the historical hazard).
+    sampler = pf.ForwardECMC(DIM, lambda x: x)
+    skel, samples = _run(sampler, n_sk=400, v0=np.ones(DIM) / np.sqrt(DIM))
+    assert np.all(np.isfinite(np.asarray(samples)))
+
+
+def test_banana_target_runs():
+    sampler = pf.ZigZagAD(6, potentials.banana)
+    skel = pf.sample_skeleton(sampler, 1200, np.ones(6), np.ones(6), seed=5)
+    samples = pf.sample_from_skeleton(sampler, 3000, skel)
+    s = np.asarray(samples)
+    assert np.all(np.isfinite(s))
+    # x1 marginal of the banana is N(0,1): loose check
+    assert abs(s[:, 0].mean()) < 0.6
+
+
+def test_constructor_validation():
+    with pytest.raises(ValueError):
+        pf.ZigZag(0, lambda x: x)
+    with pytest.raises(ValueError):
+        pf.ZigZag(3, lambda x: x, grid_size=-1)
+    with pytest.raises(ValueError):
+        pf.ForwardECMC(1, lambda x: x)  # dim >= 2 required
+    with pytest.raises(ValueError):
+        pf.RHMC(3, lambda x: x, refresh_rate=0.0)
+    with pytest.raises(ValueError):
+        pf.RHMC(3, lambda x: x, phi=2.0)
+    with pytest.raises(ValueError):
+        pf.RHMC(3, lambda x: x, step_size=-0.1)
+    with pytest.raises(ValueError):
+        pf.sample_skeleton(pf.ZigZag(3, lambda x: x), -5, np.zeros(3), np.ones(3))
+    with pytest.raises(ValueError):
+        pf.sample_skeleton(
+            pf.ZigZag(3, lambda x: x), 10, np.full(3, np.nan), np.ones(3)
+        )
+
+
+def test_signed_unvectorized_warns_and_disables():
+    with pytest.warns(UserWarning):
+        s = pf.ZigZag(DIM, lambda x: x, signed_bound=True, vectorized_bound=False)
+    assert s.signed_bound is False
+
+
+def test_tmax_zero_turns_adaptive():
+    s = pf.ZigZag(DIM, lambda x: x, tmax=0.0, adaptive=False)
+    assert s.tmax == 1.0 and s.adaptive is True
+
+
+def test_scalar_1d_api():
+    # 1-D scalar-convention potential, mirroring test_coverage.jl:294-307.
+    sampler = pf.ZigZagAD(1, lambda x: x**2 / 2)
+    skel = pf.sample_skeleton(sampler, 500, 0.0, 1.0, seed=11)
+    samples = pf.sample_from_skeleton(sampler, 1000, skel)
+    _moment_check(samples, mean_tol=0.6)
