@@ -49,6 +49,10 @@ from .models import (
     ZigZagAD,
 )
 
+from . import diagnostics, parallel, plotting, utils
+from .diagnostics import RV_diagnostic, diagnostic, ess, ess_per_dim
+from .plotting import anim_traj, jointplot, marginalplot, plot_U_contour, plot_traj
+
 __version__ = "0.1.0"
 
 __all__ = [

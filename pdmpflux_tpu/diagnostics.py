@@ -1,0 +1,129 @@
+"""Diagnostics — counterpart of ``/root/reference/src/diagnostic.jl``.
+
+* ``diagnostic(skeleton)``: 2x2 summary figure (inter-event times,
+  acceptance-rate histogram with mean line, hitting-horizon and rejection
+  histograms on log axes) + printed errored-bound total (diagnostic.jl:4-21).
+* ``RV_diagnostic(skeleton, U, B)``: offline realized volatility of ``U``
+  along the path, reconstructed with the *linear* masked flow exactly as the
+  reference (diagnostic.jl:23-75 — approximate for curved-flow samplers,
+  noted there too).
+* ``ess`` / ``ess_per_dim``: effective sample size (Geyer initial positive
+  sequence on FFT autocorrelations) — the quantity the benchmark targets
+  (BASELINE.json) require; absent in the reference.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.types import Skeleton
+
+
+def diagnostic(skeleton: Skeleton, color="#78C2AD", show=False, save_path=None):
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    t = np.asarray(skeleton.t)
+    ar = np.asarray(skeleton.ar)
+    hit = np.asarray(skeleton.hitting_horizon)
+    rej = np.asarray(skeleton.rejected)
+    err_total = int(np.sum(np.asarray(skeleton.errored_bound)))
+
+    fig, axes = plt.subplots(2, 2, figsize=(12, 9))
+    axes[0, 0].hist(np.diff(t), bins="auto", color=color)
+    axes[0, 0].set(title="Time between events histogram", xlabel="Time",
+                   ylabel="Count")
+    axes[0, 1].hist(ar, bins="auto", color=color, density=True)
+    axes[0, 1].axvline(ar.mean(), ls="--", color="#E95420")
+    axes[0, 1].set(
+        title=f"Acceptance rate histogram (Mean: {ar.mean():.3f})",
+        xlabel="Rate", ylabel="Relative Frequency",
+    )
+    axes[1, 0].hist(hit, bins=15, color=color, log=True)
+    axes[1, 0].set(
+        title=f"Hitting horizon histogram (Total: {int(hit.sum())})",
+        xlabel="Horizon", ylabel="Log Frequency",
+    )
+    axes[1, 1].hist(rej, bins=20, color=color, log=True)
+    axes[1, 1].set(
+        title=f"Rejection histogram (Total: {int(rej.sum())})",
+        xlabel="Rejections", ylabel="Log Frequency",
+    )
+    fig.tight_layout()
+    print("number of error bound:", err_total)
+    if save_path:
+        fig.savefig(save_path)
+    if show:
+        plt.show()
+    return fig
+
+
+def RV_diagnostic(skeleton: Skeleton, U, B: int = 0) -> float:
+    """Offline realized volatility with linear masked-velocity flow
+    (diagnostic.jl:37-75)."""
+    t = np.asarray(skeleton.t)
+    N = len(t)
+    if N == 0:
+        return 0.0
+    T = float(t[-1])
+    if not np.isfinite(T) or T < 0:
+        raise ValueError(
+            f"history.t[end] must be finite and non-negative. Current value: {T}"
+        )
+    if B == 0:
+        B = max(1, int(np.floor(np.sqrt(N))))
+    elif B < 0:
+        raise ValueError(f"B must be non-negative. Current value: {B}")
+    if T == 0.0:
+        return 0.0
+
+    X = np.asarray(skeleton.x)
+    V = np.asarray(skeleton.v)
+    A = np.asarray(skeleton.is_active)
+    boundaries = np.linspace(0.0, T, B + 1)
+    idx = np.clip(np.searchsorted(t, boundaries, side="right") - 1, 0, N - 1)
+    tau = boundaries - t[idx]
+    x_b = X[idx] + np.where(A[idx], V[idx], 0.0) * tau[:, None]
+    u = np.asarray(jax.vmap(U)(jnp.asarray(x_b)))
+    # boundaries[0] == 0 gives x(0) = X[0]; increments telescope exactly as
+    # the reference's per-event accumulation does.
+    return float(np.sum(np.diff(u) ** 2) / T)
+
+
+def _autocorr_fft(x: np.ndarray) -> np.ndarray:
+    n = len(x)
+    x = x - x.mean()
+    m = 1 << (2 * n - 1).bit_length()
+    f = np.fft.rfft(x, m)
+    acov = np.fft.irfft(f * np.conj(f))[:n].real
+    if acov[0] <= 0:
+        return np.zeros(n)
+    return acov / acov[0]
+
+
+def ess(series: np.ndarray) -> float:
+    """Effective sample size of a 1-d series via Geyer's initial positive
+    sequence estimator: ``tau = -1 + 2 * sum_k Gamma_k`` over the pair sums
+    ``Gamma_k = rho_{2k} + rho_{2k+1}`` truncated at the first non-positive
+    pair; ``ESS = n / tau``."""
+    series = np.asarray(series, float)
+    n = len(series)
+    if n < 4 or np.var(series) == 0:
+        return float(n)
+    rho = _autocorr_fft(series)
+    n_pairs = (len(rho) - 1) // 2
+    gamma = rho[: 2 * n_pairs : 2] + rho[1 : 2 * n_pairs + 1 : 2]
+    nonpos = np.nonzero(gamma <= 0)[0]
+    cut = int(nonpos[0]) if len(nonpos) else len(gamma)
+    tau = -1.0 + 2.0 * float(np.sum(gamma[:cut]))
+    return float(n / max(tau, 1e-12))
+
+
+def ess_per_dim(samples: np.ndarray) -> np.ndarray:
+    """ESS of each coordinate of an ``(N, d)`` sample array."""
+    s = np.asarray(samples, float)
+    return np.asarray([ess(s[:, j]) for j in range(s.shape[1])])

@@ -1,0 +1,192 @@
+"""Visualization — matplotlib counterparts of ``/root/reference/src/plot.jl``.
+
+* ``plot_traj``      1-D (t vs x), 2-D, 3-D skeleton polylines, with the
+  phase-space ``xv_plot`` option (plot.jl:71-130)
+* ``jointplot``      2-coordinate joint + marginal histograms (plot.jl:5-12)
+* ``marginalplot``   1-D histogram + KDE + optional exact marginal from U
+  (plot.jl:14-69)
+* ``plot_U_contour`` 2-D potential contours (plot.jl:151-190)
+* ``anim_traj``      trajectory animation (GIF via matplotlib.animation),
+  interpolating between events at step dt with optional nonlinear flow
+  (plot.jl:194-333)
+
+All functions return the matplotlib Figure (or the animation object) and
+accept ``save_path`` for file output; they never require a display.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .core.types import Skeleton
+
+
+def _mpl():
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def plot_traj(skeleton: Skeleton, n_max: int = 1000, *, coords=(0, 1, 2),
+              xv_plot: bool = False, save_path=None, ax=None):
+    """Polyline of the first ``n_max`` skeleton points (plot.jl:71-130)."""
+    plt = _mpl()
+    X = np.asarray(skeleton.x)[:n_max]
+    V = np.asarray(skeleton.v)[:n_max]
+    t = np.asarray(skeleton.t)[:n_max]
+    d = X.shape[1]
+
+    if xv_plot:
+        fig, ax2 = plt.subplots()
+        ax2.plot(X[:, coords[0]], V[:, coords[0]], lw=0.7)
+        ax2.set(xlabel=f"x{coords[0]}", ylabel=f"v{coords[0]}",
+                title="Phase space trajectory")
+    elif d == 1:
+        fig, ax2 = plt.subplots()
+        ax2.plot(t, X[:, 0], lw=0.7)
+        ax2.set(xlabel="t", ylabel="x", title="PDMP trajectory")
+    elif d == 2 or len(coords) < 3:
+        fig, ax2 = plt.subplots()
+        ax2.plot(X[:, coords[0]], X[:, coords[1]], lw=0.7)
+        ax2.set(xlabel=f"x{coords[0]}", ylabel=f"x{coords[1]}",
+                title="PDMP trajectory")
+    else:
+        fig = plt.figure()
+        ax3 = fig.add_subplot(projection="3d")
+        ax3.plot(X[:, coords[0]], X[:, coords[1]], X[:, coords[2]], lw=0.7)
+        ax3.set(title="PDMP trajectory")
+    if save_path:
+        fig.savefig(save_path)
+    return fig
+
+
+def jointplot(samples, coords=(0, 1), bins=60, save_path=None):
+    """Joint scatter/2-D-histogram with marginal histograms (plot.jl:5-12)."""
+    plt = _mpl()
+    s = np.asarray(samples)
+    x, y = s[:, coords[0]], s[:, coords[1]]
+    fig = plt.figure(figsize=(7, 7))
+    gs = fig.add_gridspec(
+        2, 2, width_ratios=(4, 1), height_ratios=(1, 4),
+        wspace=0.05, hspace=0.05,
+    )
+    ax = fig.add_subplot(gs[1, 0])
+    ax_hx = fig.add_subplot(gs[0, 0], sharex=ax)
+    ax_hy = fig.add_subplot(gs[1, 1], sharey=ax)
+    ax.hist2d(x, y, bins=bins, cmap="viridis")
+    ax_hx.hist(x, bins=bins, color="#78C2AD")
+    ax_hy.hist(y, bins=bins, orientation="horizontal", color="#78C2AD")
+    ax_hx.tick_params(labelbottom=False)
+    ax_hy.tick_params(labelleft=False)
+    ax.set(xlabel=f"x{coords[0]}", ylabel=f"x{coords[1]}")
+    if save_path:
+        fig.savefig(save_path)
+    return fig
+
+
+def marginalplot(samples, coord: int = 0, U=None, bins=80, save_path=None):
+    """1-D marginal histogram + Gaussian-KDE + optional exact marginal
+    overlay computed from ``U`` by numerical quadrature (plot.jl:14-69)."""
+    plt = _mpl()
+    s = np.asarray(samples)[:, coord]
+    fig, ax = plt.subplots()
+    ax.hist(s, bins=bins, density=True, alpha=0.6, color="#78C2AD",
+            label="samples")
+    # Gaussian KDE (Scott's rule), dependency-free.
+    n = len(s)
+    h = 1.06 * s.std() * n ** (-1 / 5)
+    grid = np.linspace(s.min() - 3 * h, s.max() + 3 * h, 400)
+    if h > 0:
+        kde = np.exp(
+            -0.5 * ((grid[:, None] - s[None, ::max(1, n // 5000)]) / h) ** 2
+        ).sum(axis=1)
+        kde /= kde.sum() * (grid[1] - grid[0])
+        ax.plot(grid, kde, color="#E95420", label="KDE")
+    if U is not None:
+        import jax
+        import jax.numpy as jnp
+
+        # exact 1-d marginal for product-form / 1-d potentials
+        logp = -np.asarray(
+            jax.vmap(lambda g: U(jnp.asarray([g])))(jnp.asarray(grid))
+        )
+        p = np.exp(logp - logp.max())
+        p /= p.sum() * (grid[1] - grid[0])
+        ax.plot(grid, p, "k--", label="exact (from U)")
+    ax.legend()
+    ax.set(xlabel=f"x{coord}", ylabel="density", title="Marginal")
+    if save_path:
+        fig.savefig(save_path)
+    return fig
+
+
+def plot_U_contour(U, xlim=(-3, 3), ylim=(-3, 3), n=120, save_path=None):
+    """Contours of a 2-D potential (plot.jl:151-190)."""
+    plt = _mpl()
+    import jax
+    import jax.numpy as jnp
+
+    xs = np.linspace(*xlim, n)
+    ys = np.linspace(*ylim, n)
+    XX, YY = np.meshgrid(xs, ys)
+    pts = jnp.asarray(np.stack([XX.ravel(), YY.ravel()], axis=1))
+    ZZ = np.asarray(jax.vmap(U)(pts)).reshape(n, n)
+    fig, ax = plt.subplots()
+    cs = ax.contourf(XX, YY, np.exp(-(ZZ - ZZ.min())), levels=30,
+                     cmap="viridis")
+    fig.colorbar(cs, ax=ax)
+    ax.set(xlabel="x0", ylabel="x1", title="exp(-U) contours")
+    if save_path:
+        fig.savefig(save_path)
+    return fig
+
+
+def anim_traj(skeleton: Skeleton, n_max: int = 200, *, dt: float = 0.1,
+              flow=None, coords=(0, 1), save_path=None, fps: int = 30):
+    """Animate the trajectory, interpolating between events at step ``dt``
+    (plot.jl:194-333).  ``flow`` overrides the linear interpolant for
+    curved-flow samplers (the reference's ``nonlinear_flow`` option)."""
+    plt = _mpl()
+    from matplotlib import animation
+
+    X = np.asarray(skeleton.x)[:n_max]
+    V = np.asarray(skeleton.v)[:n_max]
+    A = np.asarray(skeleton.is_active)[:n_max]
+    t = np.asarray(skeleton.t)[:n_max]
+
+    frames_xy = []
+    for i in range(len(t) - 1):
+        seg = max(1, int(np.ceil((t[i + 1] - t[i]) / dt)))
+        taus = np.linspace(0.0, t[i + 1] - t[i], seg, endpoint=False)
+        v_used = np.where(A[i], V[i], 0.0)
+        for tau in taus:
+            if flow is None:
+                p = X[i] + v_used * tau
+            else:
+                p = np.asarray(flow(X[i], v_used, tau)[0])
+            frames_xy.append(p[list(coords)])
+    frames_xy.append(X[-1][list(coords)])
+    frames_xy = np.asarray(frames_xy)
+
+    fig, ax = plt.subplots()
+    pad = 0.5
+    ax.set_xlim(frames_xy[:, 0].min() - pad, frames_xy[:, 0].max() + pad)
+    ax.set_ylim(frames_xy[:, 1].min() - pad, frames_xy[:, 1].max() + pad)
+    (line,) = ax.plot([], [], lw=0.8)
+    (dot,) = ax.plot([], [], "o", color="#E95420", ms=4)
+    ev = ax.scatter(X[:, coords[0]], X[:, coords[1]], s=4, alpha=0.3)
+
+    def update(i):
+        line.set_data(frames_xy[: i + 1, 0], frames_xy[: i + 1, 1])
+        dot.set_data(frames_xy[i : i + 1, 0], frames_xy[i : i + 1, 1])
+        return line, dot, ev
+
+    ani = animation.FuncAnimation(
+        fig, update, frames=len(frames_xy), interval=1000 / fps, blit=True
+    )
+    if save_path:
+        ani.save(save_path, writer=animation.PillowWriter(fps=fps))
+    return ani

@@ -1,0 +1,3 @@
+from . import potentials
+
+__all__ = ["potentials"]

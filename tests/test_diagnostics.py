@@ -1,0 +1,102 @@
+"""Diagnostics tests — mirrors ``/root/reference/test/test_diagnostics.jl``:
+a hand-crafted skeleton with a closed-form RV value (:103-124) and
+online-vs-offline RV agreement (:131-143); plus ESS sanity checks."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pdmpflux_tpu as pf
+from pdmpflux_tpu import diagnostics
+from pdmpflux_tpu.core.types import ERROR_RING_SIZE, Skeleton
+
+
+def _hand_skeleton():
+    """3-event linear history in 1-d: x moves 0 -> 1 -> 0 over t in [0, 2]."""
+    d = 1
+    n = 3
+    return Skeleton(
+        x=np.array([[0.0], [1.0], [0.0]]),
+        v=np.array([[1.0], [-1.0], [1.0]]),
+        t=np.array([0.0, 1.0, 2.0]),
+        horizon=np.ones(n),
+        ar=np.zeros(n),
+        is_active=np.ones((n, d), bool),
+        rejected=np.zeros(n, np.int32),
+        errored_bound=np.zeros(n, np.int32),
+        hitting_horizon=np.zeros(n, np.int32),
+        error_value_ar=np.zeros((n, ERROR_RING_SIZE)),
+        kind=np.array([1, 2, 2], np.int32),
+        n_valid=np.asarray(n, np.int32),
+    )
+
+
+def test_rv_exact_value_on_crafted_history():
+    # U(x) = x^2/2 along the tent path; B=2 batches with boundaries 0,1,2:
+    # U(x(1)) - U(x(0)) = 1/2; U(x(2)) - U(x(1)) = -1/2 -> RV = 0.5/T = 0.25
+    skel = _hand_skeleton()
+    U = lambda x: jnp.sum(x * x) / 2
+    rv = diagnostics.RV_diagnostic(skel, U, B=2)
+    assert abs(rv - 0.25) < 1e-12
+
+
+def test_rv_b_zero_defaults_to_sqrt():
+    skel = _hand_skeleton()
+    U = lambda x: jnp.sum(x * x) / 2
+    rv = diagnostics.RV_diagnostic(skel, U)  # B = floor(sqrt(3)) = 1
+    # single batch: (U(x(2)) - U(x(0)))^2 / 2 = 0
+    assert abs(rv - 0.0) < 1e-12
+
+
+def test_online_offline_rv_agreement():
+    dim = 3
+    sampler = pf.ZigZagAD(dim, lambda x: jnp.sum(x**2) / 2)
+    U = lambda x: jnp.sum(x**2) / 2
+    T = 25.0
+    B = 64
+    skel, rv_online = pf.sample_skeleton_with_diagnostic(
+        sampler, T, np.zeros(dim), np.ones(dim), U, B=B, seed=4
+    )
+    rv_offline = diagnostics.RV_diagnostic(skel, U, B=B)
+    # linear flow => the linear offline reconstruction is exact here
+    assert abs(rv_online - rv_offline) < 1e-10
+
+
+def test_rv_validation():
+    skel = _hand_skeleton()
+    with pytest.raises(ValueError):
+        diagnostics.RV_diagnostic(skel, lambda x: 0.0, B=-1)
+
+
+def test_diagnostic_figure_builds():
+    dim = 2
+    sampler = pf.ZigZagAD(dim, lambda x: jnp.sum(x**2) / 2)
+    skel = pf.sample_skeleton(sampler, 300, np.zeros(dim), np.ones(dim), seed=0)
+    fig = diagnostics.diagnostic(skel)
+    assert fig is not None
+
+
+def test_ess_iid_close_to_n():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=4000)
+    e = diagnostics.ess(x)
+    assert 2500 < e < 5500
+
+
+def test_ess_correlated_much_smaller():
+    rng = np.random.default_rng(1)
+    n = 4000
+    x = np.zeros(n)
+    for i in range(1, n):
+        x[i] = 0.95 * x[i - 1] + rng.normal()
+    e = diagnostics.ess(x)
+    # AR(1) rho=0.95 -> tau ~ (1+rho)/(1-rho) = 39 -> ESS ~ n/39 ~ 100
+    assert 30 < e < 400
+
+
+def test_ess_per_dim_shapes():
+    rng = np.random.default_rng(2)
+    s = rng.normal(size=(1000, 5))
+    e = diagnostics.ess_per_dim(s)
+    assert e.shape == (5,)
+    assert np.all(e > 300)

@@ -1,0 +1,123 @@
+"""Multi-device tests on the 8-device fake CPU mesh (SURVEY.md §4: the
+multi-device coverage the reference lacks entirely)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pdmpflux_tpu as pf
+from pdmpflux_tpu.parallel import (
+    checkpoint,
+    mesh as mesh_lib,
+    sharded,
+)
+
+DIM = 6
+
+
+@pytest.fixture(scope="module")
+def sampler():
+    return pf.ZigZagAD(DIM, lambda x: jnp.sum(x * x) / 2)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_chains_run_and_reduce(sampler):
+    B = 32
+    mesh = mesh_lib.make_mesh(8, 1)
+    res = sharded.sample_skeleton_sharded(
+        sampler, 200, np.zeros((B, DIM)), np.ones((B, DIM)), mesh=mesh, seed=0
+    )
+    assert (np.asarray(res.skeleton.n_valid) == 200).all()
+    assert res.stats["events"] == B * 200
+    assert 0.0 < res.stats["mean_ar"] <= 1.0
+    mean, var = sharded.pooled_moments(res.skeleton, sampler, 300)
+    assert np.all(np.abs(np.asarray(mean)) < 0.3)
+    assert np.all(np.abs(np.asarray(var) - 1.0) < 0.4)
+
+
+def test_sharded_matches_single_device(sampler):
+    """Sharding must not change the sampled law OR the per-chain streams:
+    chains are keyed by (seed, chain index), so the same batch on a 1-device
+    and an 8-device mesh produces identical skeletons."""
+    B = 16
+    n = 100
+    r1 = sharded.sample_skeleton_sharded(
+        sampler, n, np.zeros((B, DIM)), np.ones((B, DIM)),
+        mesh=mesh_lib.make_mesh(1, 1), seed=3,
+    )
+    r8 = sharded.sample_skeleton_sharded(
+        sampler, n, np.zeros((B, DIM)), np.ones((B, DIM)),
+        mesh=mesh_lib.make_mesh(8, 1), seed=3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r1.skeleton.t), np.asarray(r8.skeleton.t), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(r1.skeleton.x), np.asarray(r8.skeleton.x), rtol=1e-12
+    )
+
+
+def test_gspmd_dim_sharding(sampler):
+    mesh = mesh_lib.make_mesh(4, 2)
+    bps = pf.BPS(DIM, lambda x: x, refresh_rate=0.5)
+    res = sharded.sample_skeleton_gspmd(
+        bps, 50, np.zeros((8, DIM)), np.ones((8, DIM)), mesh=mesh, seed=1
+    )
+    assert (np.asarray(res.skeleton.n_valid) == 50).all()
+    assert np.all(np.isfinite(np.asarray(res.skeleton.x)))
+
+
+def test_batch_divisibility_error(sampler):
+    mesh = mesh_lib.make_mesh(8, 1)
+    with pytest.raises(ValueError):
+        sharded.sample_skeleton_sharded(
+            sampler, 10, np.zeros((7, DIM)), np.ones((7, DIM)), mesh=mesh
+        )
+
+
+def test_checkpoint_roundtrip(tmp_path, sampler):
+    state = sampler.init_state_batch(
+        np.zeros((4, DIM)), np.ones((4, DIM)), seed=0
+    )
+    skel = pf.sample_skeleton(sampler, 50, np.zeros((4, DIM)), np.ones((4, DIM)), seed=0)
+    p = str(tmp_path / "ck.npz")
+    checkpoint.save_checkpoint(p, state, skel, meta={"round": 1})
+    state2, skel2, meta = checkpoint.load_checkpoint(p)
+    assert meta == {"round": 1}
+    np.testing.assert_array_equal(np.asarray(state.x), state2.x)
+    np.testing.assert_array_equal(np.asarray(skel.t), skel2.t)
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(state.key)),
+        np.asarray(jax.random.key_data(state2.key)),
+    )
+
+
+def test_checkpoint_resume_continues_deterministically(sampler, tmp_path):
+    """Resume from a checkpointed state: the continuation is a pure function
+    of the stored PRNG keys."""
+    from pdmpflux_tpu.core import engine
+    from pdmpflux_tpu.core.types import EV_INIT, empty_skeleton
+
+    B = 4
+    state = sampler.init_state_batch(np.zeros((B, DIM)), np.ones((B, DIM)), seed=9)
+    run = jax.jit(engine.make_fixed_event_runner(sampler, 20, 2000))
+
+    def fresh_buffers(st):
+        sk = empty_skeleton(20, DIM, st.x.dtype, batch_shape=(B,))
+        return engine.record_initial(sk, st, EV_INIT)
+
+    res1 = run(state, fresh_buffers(state))
+    p = str(tmp_path / "mid.npz")
+    checkpoint.save_checkpoint(p, res1.state)
+    mid, _, _ = checkpoint.load_checkpoint(p)
+    mid = jax.tree.map(jnp.asarray, mid)
+
+    cont_a = run(res1.state, fresh_buffers(res1.state))
+    cont_b = run(mid, fresh_buffers(mid))
+    np.testing.assert_allclose(
+        np.asarray(cont_a.skeleton.t), np.asarray(cont_b.skeleton.t), rtol=1e-12
+    )

@@ -1,0 +1,79 @@
+"""Plotting smoke tests — mirrors ``/root/reference/test/test_plotting.jl``:
+every plot function must build without error; GIF creation checked via file
+existence (headless Agg backend everywhere)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pdmpflux_tpu as pf
+from pdmpflux_tpu import plotting
+
+SKIP_GIF = os.environ.get("SKIP_GIF_TEST", "0") == "1"
+
+
+@pytest.fixture(scope="module")
+def skel2d():
+    sampler = pf.ZigZagAD(2, lambda x: jnp.sum(x**2) / 2)
+    return sampler, pf.sample_skeleton(
+        sampler, 300, np.zeros(2), np.ones(2), seed=0
+    )
+
+
+@pytest.fixture(scope="module")
+def samples2d(skel2d):
+    sampler, skel = skel2d
+    return np.asarray(pf.sample_from_skeleton(sampler, 2000, skel))
+
+
+def test_plot_traj_2d(skel2d, tmp_path):
+    _, skel = skel2d
+    fig = plotting.plot_traj(skel, 200, save_path=str(tmp_path / "traj.png"))
+    assert (tmp_path / "traj.png").exists()
+
+
+def test_plot_traj_1d(tmp_path):
+    sampler = pf.ZigZagAD(1, lambda x: x**2 / 2)
+    skel = pf.sample_skeleton(sampler, 100, 0.0, 1.0, seed=1)
+    fig = plotting.plot_traj(skel, 100)
+    assert fig is not None
+
+
+def test_plot_traj_3d():
+    sampler = pf.ZigZagAD(3, lambda x: jnp.sum(x**2) / 2)
+    skel = pf.sample_skeleton(sampler, 100, np.zeros(3), np.ones(3), seed=2)
+    fig = plotting.plot_traj(skel, 100)
+    assert fig is not None
+
+
+def test_phase_space_plot(skel2d):
+    _, skel = skel2d
+    fig = plotting.plot_traj(skel, 100, xv_plot=True)
+    assert fig is not None
+
+
+def test_jointplot(samples2d, tmp_path):
+    fig = plotting.jointplot(samples2d, save_path=str(tmp_path / "joint.png"))
+    assert (tmp_path / "joint.png").exists()
+
+
+def test_marginalplot_with_exact_overlay(samples2d):
+    fig = plotting.marginalplot(
+        samples2d, 0, U=lambda x: jnp.sum(x * x) / 2
+    )
+    assert fig is not None
+
+
+def test_plot_U_contour():
+    fig = plotting.plot_U_contour(lambda x: jnp.sum(x * x) / 2)
+    assert fig is not None
+
+
+@pytest.mark.skipif(SKIP_GIF, reason="GIF rendering disabled")
+def test_anim_traj_gif(skel2d, tmp_path):
+    _, skel = skel2d
+    out = str(tmp_path / "traj.gif")
+    plotting.anim_traj(skel, 30, dt=0.2, save_path=out, fps=10)
+    assert os.path.exists(out) and os.path.getsize(out) > 0
