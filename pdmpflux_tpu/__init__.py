@@ -51,7 +51,14 @@ from .models import (
 
 from . import diagnostics, parallel, plotting, utils
 from .diagnostics import RV_diagnostic, diagnostic, ess, ess_per_dim
-from .plotting import anim_traj, jointplot, marginalplot, plot_U_contour, plot_traj
+from .plotting import (
+    anim_traj,
+    anim_traj_,
+    jointplot,
+    marginalplot,
+    plot_U_contour,
+    plot_traj,
+)
 
 __version__ = "0.1.0"
 

@@ -1,0 +1,121 @@
+"""Engine driver for the fused Pallas Zig-Zag chunk kernel.
+
+Wraps ``zigzag_chunk.run_chunk`` into the same ``RunResult`` interface as
+``core/engine.py``'s XLA drivers: an outer ``lax.while_loop`` over fused
+chunks, each chunk's event stream compacted into the skeleton buffers with
+one batched scatter (``engine._compact_chunk``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...core import engine
+from ...core.types import Event, PDMPState, Skeleton
+from . import zigzag_chunk as zc
+
+
+def supports_pallas(sampler) -> bool:
+    """The fused kernel covers the Zig-Zag family default configuration:
+    linear flow, vectorized grid bound, non-sticky, grid_size >= 2."""
+    from ...models.zigzag import ZigZag
+    from ...models.sticky import StickyZigZag
+    from ...models.speedup_zigzag import SpeedUpZigZag
+
+    return (
+        type(sampler) is ZigZag
+        and not isinstance(sampler, (StickyZigZag, SpeedUpZigZag))
+        and sampler.vectorized_bound
+        and sampler.grid_size >= 2
+        and not sampler.sticky
+    )
+
+
+def make_pallas_fixed_runner(sampler, n_events: int, max_transitions: int,
+                             chunk: int = 32, tile: int = 512,
+                             interpret: bool = False):
+    grad_vec = sampler._cached(
+        "grad_vec", lambda: jax.vmap(sampler.grad_U, in_axes=1, out_axes=1)
+    )
+    n_grid = sampler.grid_size
+    signed = bool(sampler.signed_bound)
+    adaptive = bool(sampler.adaptive)
+    n_chunks = max(1, -(-max_transitions // chunk))
+
+    def run(state: PDMPState, skel: Skeleton) -> engine.RunResult:
+        B, d = state.x.shape
+        dtype = state.x.dtype
+        x = state.x.T
+        v = state.v.T
+        fs = jnp.stack(
+            [state.t, state.t_comp, state.ts, state.horizon, state.bound_h,
+             state.exp_rv, state.ar]
+        ).astype(dtype)
+        iscal = jnp.stack(
+            [state.mode, state.rejected, state.errored_bound,
+             state.hitting_horizon, skel.n_valid]
+        ).astype(jnp.int32)
+        ring = state.error_value_ar.T.astype(dtype)
+        key_bits = jax.random.key_data(state.key)
+        seed0 = jax.lax.bitcast_convert_type(
+            jnp.sum(key_bits.astype(jnp.uint32), dtype=jnp.uint32), jnp.int32
+        )
+
+        def cond(c):
+            it, x, v, fs, iscal, ring, skel = c
+            return (it < n_chunks) & jnp.any(iscal[zc.I_CNT] < n_events)
+
+        def body(c):
+            it, x, v, fs, iscal, ring, skel = c
+            outs = zc.run_chunk(
+                seed0 + it * 1000003, x, v, fs, iscal, ring,
+                grad_vec=grad_vec, n_grid=n_grid, K=chunk,
+                adaptive=adaptive, signed=signed, refresh_rate=0.0,
+                cap=n_events, tile=tile, interpret=interpret,
+            )
+            x, v, fs, iscal, ring, evk, evx, evv, evfs, evring = outs
+            C = chunk
+            ev = Event(
+                kind=evk[:, 0],
+                x=evx.transpose(0, 2, 1),
+                v=evv.transpose(0, 2, 1),
+                t=evfs[:, 0].astype(skel.t.dtype),
+                horizon=evfs[:, 1],
+                ar=evfs[:, 2],
+                is_active=jnp.ones((C, B, d), bool),
+                rejected=evk[:, 1],
+                errored_bound=evk[:, 2],
+                hitting_horizon=evk[:, 3],
+                error_value_ar=evring.transpose(0, 2, 1),
+            )
+            skel = engine._compact_chunk(skel, ev, skel.n_valid, n_events)
+            return it + 1, x, v, fs, iscal, ring, skel
+
+        it0 = jnp.zeros((), jnp.int32)
+        it, x, v, fs, iscal, ring, skel = jax.lax.while_loop(
+            cond, body, (it0, x, v, fs, iscal, ring, skel)
+        )
+
+        new_state = state._replace(
+            x=x.T,
+            v=v.T,
+            t=fs[zc.F_T],
+            t_comp=fs[zc.F_TC],
+            ts=fs[zc.F_TS],
+            horizon=fs[zc.F_H],
+            bound_h=fs[zc.F_BH],
+            exp_rv=fs[zc.F_EXP],
+            ar=fs[zc.F_AR],
+            mode=iscal[zc.I_MODE],
+            rejected=iscal[zc.I_REJ],
+            errored_bound=iscal[zc.I_ERR],
+            hitting_horizon=iscal[zc.I_HIT],
+            error_value_ar=ring.T,
+            key=jax.vmap(jax.random.fold_in)(
+                state.key, jnp.full((B,), it, jnp.uint32)
+            ),
+        )
+        return engine.RunResult(new_state, skel, it * chunk)
+
+    return run

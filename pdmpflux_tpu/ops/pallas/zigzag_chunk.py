@@ -1,0 +1,415 @@
+"""Fused Pallas TPU kernel: a full chunk of Zig-Zag transitions per launch.
+
+Motivation (measured, TPU v5e): the XLA transition stream costs ~190 us per
+transition at B=1024 chains — dominated by kernel-launch overhead and HBM
+round-trips of ~10^2 small intermediates.  This kernel runs ``K`` complete
+transitions (envelope build -> Poisson-clock inversion -> thinning decision
+-> flow -> coordinate flip -> event emission) for a tile of chains entirely
+in VMEM, eliminating both.
+
+Layout: chains ride the minor (lane) axis — state vectors are ``(d, TB)``
+tiles, per-chain scalars are packed ``(S, TB)`` stacks — so every step is a
+dense VPU op across 128-chain lane groups; the ``d`` axis sits on sublanes.
+Per-lane gathers (envelope inversion, ring-buffer updates) are unrolled into
+``G+1``-way selects, which is branch-free and cheap for the small grids the
+thinning scheme uses (default ``grid_size = 10``).
+
+Scope: Zig-Zag family (linear flow, vectorized signed/unsigned grid bound,
+non-sticky) — the reference's default configuration and the benchmark
+config.  Other samplers use the XLA engine path.
+
+RNG: the TPU-native per-core PRNG (``pltpu.prng_seed`` / ``prng_random_bits``),
+seeded per (tile, chunk) from the driver-provided base seed.  Streams differ
+from the XLA path's threefry keys by construction; determinism holds for a
+fixed (seed, chain-tile, chunk) triple, and correctness is validated
+statistically (posterior moments), exactly as SURVEY.md §7 prescribes for
+FP-sensitive paths.
+
+Semantics mirror ``core/engine.py:make_transition`` (same MODE_* machine,
+same adaptive constants from ``SamplingLoopInplace.jl``); the event stream
+output feeds the same ``_compact_chunk`` scatter.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.types import (
+    EV_JUMP,
+    EV_NONE,
+    MODE_ERRONEOUS,
+    MODE_FRESH,
+    MODE_REJECTED,
+    ERROR_RING_SIZE,
+)
+
+# packed float-scalar rows
+F_T, F_TC, F_TS, F_H, F_BH, F_EXP, F_AR = range(7)
+NF = 7
+# packed int-scalar rows
+I_MODE, I_REJ, I_ERR, I_HIT, I_CNT = range(5)
+NI = 5
+
+HORIZON_GROW = 1.01
+HORIZON_SHRINK = 1.04
+
+
+_THREEFRY_ROT = (13, 15, 26, 6, 17, 29, 16, 24)
+_THREEFRY_C = 0x1BD11BDA
+
+
+def _threefry2x32(k0, k1, x0, x1):
+    """Threefry-2x32 (20 rounds), the counter-based generator JAX's own PRNG
+    uses, implemented in pure uint32 jnp ops so it runs identically inside
+    compiled Pallas kernels and interpret mode (the native
+    ``pltpu.prng_random_bits`` silently returns zeros under interpretation
+    and is unreliable inside lax loops)."""
+    ks = (k0, k1, k0 ^ k1 ^ jnp.uint32(_THREEFRY_C))
+    x0 = x0 + ks[0]
+    x1 = x1 + ks[1]
+    for block in range(5):
+        rots = _THREEFRY_ROT[:4] if block % 2 == 0 else _THREEFRY_ROT[4:]
+        for r in rots:
+            x0 = x0 + x1
+            x1 = (x1 << r) | (x1 >> (32 - r))
+            x1 = x1 ^ x0
+        x0 = x0 + ks[(block + 1) % 3]
+        x1 = x1 + ks[(block + 2) % 3] + jnp.uint32(block + 1)
+    return x0, x1
+
+
+def _uniform(seed, salt, shape, dtype):
+    """(0, 1) uniforms from Threefry counters: ``seed`` keys the stream,
+    ``salt`` separates draws within a launch, positions index the grid."""
+    n = 1
+    for s in shape:
+        n *= s
+    idx = jax.lax.broadcasted_iota(jnp.uint32, shape, len(shape) - 1)
+    row = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    for axis in range(1, len(shape) - 1):
+        row = row * jnp.uint32(shape[axis]) + jax.lax.broadcasted_iota(
+            jnp.uint32, shape, axis
+        )
+    counter = row * jnp.uint32(shape[-1]) + idx
+    b0, _ = _threefry2x32(
+        seed.astype(jnp.uint32),
+        jnp.asarray(salt).astype(jnp.uint32),
+        counter,
+        jnp.zeros_like(counter),
+    )
+    # Mosaic has no uint32 -> float cast; hop through int32 (values < 2^24).
+    mant = jax.lax.bitcast_convert_type(b0 >> 8, jnp.int32)
+    u = mant.astype(dtype) * (1.0 / (1 << 24))
+    return u + (0.5 / (1 << 24))
+
+
+def _make_kernel(grad_vec: Callable, *, n_grid: int, K: int, dim: int,
+                 adaptive: bool, signed: bool, refresh_rate: float,
+                 cap: int, dtype):
+    """Build the kernel body.
+
+    ``grad_vec``: batched gradient ``(d, TB) -> (d, TB)`` (``jax.vmap`` of
+    the user gradient over the lane axis — vmap/jvp trace fine inside Pallas
+    kernels).
+    """
+    G = n_grid - 1  # segments
+
+    def kernel(seed_ref, x_ref, v_ref, fs_ref, is_ref, ring_ref,
+               x_out, v_out, fs_out, is_out, ring_out,
+               ev_kind, ev_x, ev_v, ev_fs, ev_ring):
+        tile = pl.program_id(0)
+        seed_val = seed_ref[0] + tile * 7919
+
+        x = x_ref[:]
+        v = v_ref[:]
+        fs = fs_ref[:]
+        iscal = is_ref[:]
+        ring = ring_ref[:]
+        TB = x.shape[1]
+        one = jnp.ones((TB,), dtype)
+
+
+        def signed_rates(xc, vc, t):
+            """Per-dim signed rate along the flow: grad_U(x + v t) * v."""
+            return grad_vec(xc + vc * t[None, :]) * vc
+
+        def body(k, carry):
+            x0, v0, fs, iscal, ring0 = carry
+            x, v, ring = x0, v0, ring0
+            t_s, tc_s, ts_s = fs[F_T], fs[F_TC], fs[F_TS]
+            h_s, bh_s, exp_s, ar_s = fs[F_H], fs[F_BH], fs[F_EXP], fs[F_AR]
+            mode, rej, err, hit = iscal[I_MODE], iscal[I_REJ], iscal[I_ERR], iscal[I_HIT]
+            cnt = iscal[I_CNT]
+            live = cnt < cap  # frozen chains stop advancing (engine freeze)
+
+            # ---- envelope build on [0, bh] -------------------------------
+            # (2-D integer iota: Mosaic rejects 1-D and float iota)
+            fracs = (
+                jax.lax.broadcasted_iota(jnp.int32, (n_grid, 1), 0).astype(dtype)
+                / G
+            )
+            tis = bh_s[None, :] * fracs  # (n_grid, TB)
+
+            def f(t):
+                r = signed_rates(x, v, t)
+                return r if signed else jnp.maximum(r, 0.0)
+
+            vals, ders = jax.vmap(
+                lambda t: jax.jvp(f, (t,), (one,))
+            )(tis)  # (n_grid, d, TB)
+
+            step = bh_s / G
+            f0, f1 = vals[:-1], vals[1:]
+            g0, g1 = ders[:-1], ders[1:]
+            den = g1 - g0
+            num = f0 - f1 + g1 * step[None, None, :]
+            ip = jnp.where(den == 0, 0.0, num / jnp.where(den == 0, 1.0, den))
+            ip = jnp.where(jnp.isnan(ip), 0.0, ip)
+            ip = jnp.clip(ip, 0.0, step[None, None, :])
+            inter = f0 + g0 * ip
+            box_nd = jnp.maximum(jnp.maximum(f0, f1), jnp.maximum(inter, 0.0))
+            box = jnp.sum(box_nd, axis=1) + refresh_rate  # (G, TB)
+            seg_int = box * step[None, :]
+            # unrolled prefix sum (Mosaic has no cumsum primitive; G is small)
+            rows = [jnp.zeros((TB,), dtype)]
+            for j in range(G):
+                rows.append(rows[-1] + seg_int[j])
+            cum = jnp.stack(rows, axis=0)  # (n_grid, TB)
+
+            # ---- invert the envelope at exp_s (unrolled selects) ---------
+            idx = jnp.sum((cum < exp_s[None, :]).astype(jnp.int32), axis=0)
+            overflow = idx >= n_grid
+            tp = jnp.full((TB,), jnp.inf, dtype)
+            lam_bar = box[G - 1]
+            for j in range(1, n_grid):
+                sel = idx == j
+                lo, hi = cum[j - 1], cum[j]
+                denom = jnp.where(hi == lo, 1.0, hi - lo)
+                tpj = tis[j - 1] + (exp_s - lo) / denom * step
+                tp = jnp.where(sel, tpj, tp)
+                lam_bar = jnp.where(sel, box[j - 1], lam_bar)
+
+            fresh = mode == MODE_FRESH
+            erroneous = mode == MODE_ERRONEOUS
+            tp_safe = jnp.where(overflow, 0.0, tp)
+
+            # ---- thinning evaluation at tp -------------------------------
+            lam_vec = jnp.maximum(signed_rates(x, v, tp_safe), 0.0)
+            lam_t = jnp.sum(lam_vec, axis=0)
+            ar_new = lam_t / lam_bar
+
+            beyond = overflow | (tp > h_s)
+            p_moveh = beyond & (~erroneous)
+            p_erreset = beyond & erroneous
+            p_ac = ~beyond
+            p_err = p_ac & (ar_new > 1.0)
+            p_proxy = p_ac & ~p_err
+            # Per-transition randomness: pure threefry counters salted by the
+            # loop index (Mosaic supports no dynamic_slice on values, and the
+            # stateful TPU PRNG is unreliable inside lax loops).  Rows:
+            # [exp-clock uniform, accept uniform, d gumbel uniforms].
+            u_row = _uniform(seed_val, k, (dim + 2, TB), dtype)
+            u_acc = u_row[1]
+            acc = u_acc < ar_new
+            p_acc = p_proxy & acc
+            p_rej = p_proxy & ~acc
+
+            # ---- flow at the selected time -------------------------------
+            flow_t = jnp.where(p_moveh, h_s, jnp.where(p_acc, tp_safe, 0.0))
+            x_new = x + v * flow_t[None, :]
+
+            # ---- velocity flip (gumbel-argmax over per-dim rates) --------
+            rates_flip = jnp.maximum(grad_vec(x_new) * v, 0.0)
+            u_g = u_row[2:]
+            gumbel = -jnp.log(-jnp.log(u_g))
+            logits = jnp.where(
+                rates_flip > 0,
+                jnp.log(jnp.where(rates_flip > 0, rates_flip, 1.0)),
+                -jnp.inf,
+            )
+            m = jnp.argmax(logits + gumbel, axis=0)  # (TB,)
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (dim, TB), 0) == m[None, :]
+            )
+            flip = onehot & p_acc[None, :]
+            v_new = jnp.where(flip, -v, v)
+
+            # ---- time commitment (Kahan) ---------------------------------
+            inc = tp_safe + ts_s
+            y = inc - tc_s
+            s_sum = t_s + y
+            tc_k = (s_sum - t_s) - y
+            is_event = p_acc
+            t_new = jnp.where(is_event, s_sum, t_s)
+            tc_new = jnp.where(is_event, tc_k, tc_s)
+            ts_new = jnp.where(
+                is_event, 0.0, jnp.where(p_moveh, ts_s + h_s, ts_s)
+            )
+
+            # ---- horizon adaptation --------------------------------------
+            h_new = h_s
+            if adaptive:
+                h_new = jnp.where(p_moveh & fresh, h_new * HORIZON_GROW, h_new)
+                h_new = jnp.where(p_err, h_new * 0.5, h_new)
+                h_new = jnp.where(p_rej, h_new / HORIZON_SHRINK, h_new)
+
+            # ---- counters + error ring -----------------------------------
+            hit_new = hit + p_moveh.astype(jnp.int32)
+            rej_new = rej + p_rej.astype(jnp.int32)
+            err_new = err + p_err.astype(jnp.int32)
+            ring_idx = jnp.mod(err_new, ERROR_RING_SIZE)
+            # select + stack (Mosaic has no scatter primitive)
+            ring_new = jnp.stack(
+                [
+                    jnp.where(
+                        p_err & (ring_idx == r), ar_new.astype(dtype), ring[r]
+                    )
+                    for r in range(ERROR_RING_SIZE)
+                ],
+                axis=0,
+            )
+
+            # ---- proposal bookkeeping ------------------------------------
+            reset = p_moveh | p_erreset | p_acc
+            e_draw = -jnp.log(u_row[0])
+            exp_new = jnp.where(
+                reset | p_err, e_draw,
+                jnp.where(p_rej, exp_s + e_draw, exp_s),
+            )
+            mode_new = jnp.where(
+                reset, MODE_FRESH,
+                jnp.where(p_err, MODE_ERRONEOUS,
+                          jnp.where(p_rej, MODE_REJECTED, mode)),
+            ).astype(jnp.int32)
+            bh_new = jnp.where(reset, h_new, jnp.where(p_err, h_s * 0.5, bh_s))
+            ar_state = jnp.where(p_ac, ar_new.astype(dtype), ar_s)
+
+            # ---- emit the event stream row -------------------------------
+            # ---- freeze finished chains ----------------------------------
+            lv = live[None, :]
+            x_new = jnp.where(lv, x_new, x0)
+            v_new = jnp.where(lv, v_new, v0)
+            ring_new = jnp.where(lv, ring_new, ring0)
+            t_new = jnp.where(live, t_new, t_s)
+            tc_new = jnp.where(live, tc_new, tc_s)
+            ts_new = jnp.where(live, ts_new, ts_s)
+            h_new = jnp.where(live, h_new, h_s)
+            bh_new = jnp.where(live, bh_new, bh_s)
+            exp_new = jnp.where(live, exp_new, exp_s)
+            ar_state = jnp.where(live, ar_state, ar_s)
+            mode_new = jnp.where(live, mode_new, mode)
+            rej_new = jnp.where(live, rej_new, rej)
+            err_new = jnp.where(live, err_new, err)
+            hit_new = jnp.where(live, hit_new, hit)
+            is_event = is_event & live
+
+            kind = jnp.where(is_event, EV_JUMP, EV_NONE).astype(jnp.int32)
+            cnt_new = cnt + (kind > 0).astype(jnp.int32)
+            # rows of the kind block: [kind, rejected, errored, hitting]
+            ev_kind[k] = jnp.stack([kind, rej_new, err_new, hit_new], axis=0)
+            ev_x[k] = x_new
+            ev_v[k] = v_new
+            ev_fs[k] = jnp.stack([t_new, h_new, ar_state], axis=0)
+            ev_ring[k] = ring_new
+
+            # counters reset after a recorded event
+            zero = jnp.zeros((TB,), jnp.int32)
+            rej_new = jnp.where(is_event, zero, rej_new)
+            err_new = jnp.where(is_event, zero, err_new)
+            hit_new = jnp.where(is_event, zero, hit_new)
+            ring_new = jnp.where(is_event[None, :], jnp.zeros_like(ring_new), ring_new)
+
+            fs_new = jnp.stack(
+                [t_new, tc_new, ts_new, h_new, bh_new, exp_new, ar_state], axis=0
+            )
+            is_new = jnp.stack(
+                [mode_new, rej_new, err_new, hit_new, cnt_new], axis=0
+            )
+            return x_new, v_new, fs_new, is_new, ring_new
+
+        x, v, fs, iscal, ring = jax.lax.fori_loop(
+            0, K, body, (x, v, fs, iscal, ring)
+        )
+        x_out[:] = x
+        v_out[:] = v
+        fs_out[:] = fs
+        is_out[:] = iscal
+        ring_out[:] = ring
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grad_vec", "n_grid", "K", "adaptive", "signed",
+                     "refresh_rate", "cap", "tile", "interpret"),
+)
+def run_chunk(seed, x, v, fs, iscal, ring, *, grad_vec, n_grid, K,
+              adaptive, signed, refresh_rate, cap, tile=512, interpret=False):
+    """Run one fused chunk of ``K`` transitions.
+
+    Inputs are kernel-layout: ``x``/``v`` ``(d, B)``, ``fs`` ``(NF, B)``,
+    ``iscal`` ``(NI, B)``, ``ring`` ``(5, B)``; ``seed`` a scalar int32.
+    Returns updated state plus the per-transition event stream
+    ``(kind_i32 (K, 4, B), x (K, d, B), v (K, d, B), fs (K, 3, B),
+    ring (K, 5, B))`` where the kind block rows are
+    ``[kind, rejected, errored, hitting]``.
+    """
+    d, B = x.shape
+    dtype = x.dtype
+    if B % tile:
+        raise ValueError(f"B={B} must be a multiple of tile={tile}")
+    n_tiles = B // tile
+
+    kernel = _make_kernel(
+        grad_vec, n_grid=n_grid, K=K, dim=d, adaptive=adaptive,
+        signed=signed, refresh_rate=refresh_rate, cap=cap, dtype=dtype,
+    )
+
+    def col_spec(rows):
+        return pl.BlockSpec((rows, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def ev_spec(rows):
+        return pl.BlockSpec((K, rows, tile), lambda i: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+
+    out_shape = (
+        jax.ShapeDtypeStruct((d, B), dtype),           # x
+        jax.ShapeDtypeStruct((d, B), dtype),           # v
+        jax.ShapeDtypeStruct((NF, B), dtype),          # fs
+        jax.ShapeDtypeStruct((NI, B), jnp.int32),      # iscal
+        jax.ShapeDtypeStruct((ERROR_RING_SIZE, B), dtype),  # ring
+        jax.ShapeDtypeStruct((K, 4, B), jnp.int32),    # ev kind+counters
+        jax.ShapeDtypeStruct((K, d, B), dtype),        # ev x
+        jax.ShapeDtypeStruct((K, d, B), dtype),        # ev v
+        jax.ShapeDtypeStruct((K, 3, B), dtype),        # ev t,h,ar
+        jax.ShapeDtypeStruct((K, ERROR_RING_SIZE, B), dtype),  # ev ring
+    )
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
+            col_spec(d), col_spec(d), col_spec(NF), col_spec(NI),
+            col_spec(ERROR_RING_SIZE),
+        ],
+        out_specs=(
+            col_spec(d), col_spec(d), col_spec(NF), col_spec(NI),
+            col_spec(ERROR_RING_SIZE),
+            ev_spec(4), ev_spec(d), ev_spec(d), ev_spec(3),
+            ev_spec(ERROR_RING_SIZE),
+        ),
+    )
+    interp = pltpu.InterpretParams() if interpret else False
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interp,
+    )(jnp.reshape(jnp.asarray(seed, jnp.int32), (1,)), x, v, fs, iscal, ring)

@@ -6,6 +6,7 @@ from .mesh import CHAIN_AXIS, DIM_AXIS, chain_sharding, make_mesh
 from .sharded import (
     ShardedRun,
     pooled_moments,
+    sample_from_skeleton_batch,
     sample_skeleton_gspmd,
     sample_skeleton_sharded,
 )
@@ -19,6 +20,7 @@ __all__ = [
     "make_mesh",
     "ShardedRun",
     "pooled_moments",
+    "sample_from_skeleton_batch",
     "sample_skeleton_gspmd",
     "sample_skeleton_sharded",
     "global_mesh",

@@ -166,6 +166,39 @@ def sample_skeleton_gspmd(
     return run(state, skel)
 
 
+def sample_from_skeleton_batch(sampler, n_per_chain: int, skeleton: Skeleton):
+    """Batched skeleton -> samples: ``n_per_chain`` equal-time samples per
+    chain from a padded chain-batch skeleton; returns ``(B, n, d)``.
+
+    The vectorized counterpart of ``sample_from_skeleton`` for chain batches
+    (leading axes stay sharded if the skeleton is)."""
+    t = jnp.asarray(skeleton.t)
+    X = jnp.asarray(skeleton.x)
+    V = jnp.asarray(skeleton.v)
+    A = jnp.asarray(skeleton.is_active)
+    n_valid = jnp.asarray(skeleton.n_valid)
+    B, N = t.shape
+
+    def per_chain(tb, xb, vb, ab, nb):
+        t_end = tb[jnp.maximum(nb - 1, 0)]
+        # padding slots hold zeros; push them past any query time so the
+        # binary search only sees the valid monotone prefix
+        tb_eff = jnp.where(jnp.arange(N) < nb, tb, jnp.inf)
+        tm = jnp.arange(1, n_per_chain + 1, dtype=tb.dtype) * (
+            t_end / n_per_chain
+        )
+        idx = jnp.clip(jnp.searchsorted(tb_eff, tm, side="right") - 1, 0, nb - 1)
+
+        def one(i, tmj):
+            v_used = jnp.where(ab[i], vb[i], 0.0)
+            xn, _ = sampler.flow(xb[i], v_used, tmj - tb[i])
+            return xn
+
+        return jax.vmap(one)(idx, tm)
+
+    return jax.vmap(per_chain)(t, X, V, A, n_valid)
+
+
 def pooled_moments(skeleton: Skeleton, sampler, n_per_chain: int, mesh=None):
     """Cross-chain pooled posterior moments from batched skeletons.
 
@@ -183,8 +216,9 @@ def pooled_moments(skeleton: Skeleton, sampler, n_per_chain: int, mesh=None):
 
     def per_chain(tb, xb, vb, ab, nb):
         t_end = tb[jnp.maximum(nb - 1, 0)]
+        tb_eff = jnp.where(jnp.arange(N) < nb, tb, jnp.inf)
         tm = jnp.arange(1, n_per_chain + 1, dtype=tb.dtype) * (t_end / n_per_chain)
-        idx = jnp.clip(jnp.searchsorted(tb[:N], tm, side="right") - 1, 0, nb - 1)
+        idx = jnp.clip(jnp.searchsorted(tb_eff, tm, side="right") - 1, 0, nb - 1)
 
         def one(i, tmj):
             v_used = jnp.where(ab[i], vb[i], 0.0)

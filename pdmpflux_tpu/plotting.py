@@ -190,3 +190,58 @@ def anim_traj(skeleton: Skeleton, n_max: int = 200, *, dt: float = 0.1,
     if save_path:
         ani.save(save_path, writer=animation.PillowWriter(fps=fps))
     return ani
+
+
+def anim_traj_(skeleton: Skeleton, n_max: int = 200, *, dt: float = 0.1,
+               flow=None, coords=(0, 1), save_path=None, fps: int = 30,
+               tail: int = 60):
+    """Fading-tail animation variant (plot.jl:339-631 ``anim_traj_``):
+    only the most recent ``tail`` interpolation points are drawn, with
+    opacity fading toward the tail end and the current point highlighted."""
+    plt = _mpl()
+    from matplotlib import animation
+    from matplotlib.collections import LineCollection
+
+    X = np.asarray(skeleton.x)[:n_max]
+    V = np.asarray(skeleton.v)[:n_max]
+    A = np.asarray(skeleton.is_active)[:n_max]
+    t = np.asarray(skeleton.t)[:n_max]
+
+    pts = []
+    for i in range(len(t) - 1):
+        seg = max(1, int(np.ceil((t[i + 1] - t[i]) / dt)))
+        taus = np.linspace(0.0, t[i + 1] - t[i], seg, endpoint=False)
+        v_used = np.where(A[i], V[i], 0.0)
+        for tau in taus:
+            p = (X[i] + v_used * tau) if flow is None else np.asarray(
+                flow(X[i], v_used, tau)[0]
+            )
+            pts.append(p[list(coords)])
+    pts.append(X[-1][list(coords)])
+    pts = np.asarray(pts)
+
+    fig, ax = plt.subplots()
+    pad = 0.5
+    ax.set_xlim(pts[:, 0].min() - pad, pts[:, 0].max() + pad)
+    ax.set_ylim(pts[:, 1].min() - pad, pts[:, 1].max() + pad)
+    lc = LineCollection([], linewidths=1.2)
+    ax.add_collection(lc)
+    (dot,) = ax.plot([], [], "o", color="#E95420", ms=5)
+
+    def update(i):
+        lo = max(0, i - tail)
+        window = pts[lo : i + 1]
+        segs = np.stack([window[:-1], window[1:]], axis=1) if len(window) > 1 else []
+        lc.set_segments(segs)
+        n = max(len(window) - 1, 1)
+        alphas = np.linspace(0.05, 1.0, n)
+        lc.set_color([(0.25, 0.5, 0.6, a) for a in alphas])
+        dot.set_data(pts[i : i + 1, 0], pts[i : i + 1, 1])
+        return lc, dot
+
+    ani = animation.FuncAnimation(
+        fig, update, frames=len(pts), interval=1000 / fps, blit=True
+    )
+    if save_path:
+        ani.save(save_path, writer=animation.PillowWriter(fps=fps))
+    return ani

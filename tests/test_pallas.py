@@ -1,0 +1,145 @@
+"""Fused Pallas Zig-Zag kernel tests (interpret mode on CPU).
+
+Correctness is validated by statistical agreement with the XLA engine — the
+two paths use different PRNG streams by construction (threefry counters in
+the kernel vs jax.random keys), so comparisons are distributional: posterior
+moments, acceptance-ratio / rejection / horizon-hit statistics (matching the
+validation strategy SURVEY.md §7 prescribes for FP-sensitive paths).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pdmpflux_tpu as pf
+from pdmpflux_tpu.core import engine
+from pdmpflux_tpu.core.types import EV_INIT, empty_skeleton
+from pdmpflux_tpu.ops.pallas import driver as pdrv
+from pdmpflux_tpu.ops.pallas import zigzag_chunk as zc
+from pdmpflux_tpu.parallel.sharded import pooled_moments
+
+DIM, B, N_EV = 4, 256, 400
+
+
+def _run_pallas(sampler, n_ev=N_EV, B=B, seed=0, chunk=16, tile=128):
+    st = sampler.init_state_batch(
+        np.zeros((B, sampler.dim)), np.ones((B, sampler.dim)), seed,
+        dtype=jnp.float32,
+    )
+    sk = empty_skeleton(n_ev, sampler.dim, jnp.float32, batch_shape=(B,))
+    sk = engine.record_initial(sk, st, EV_INIT)
+    run = pdrv.make_pallas_fixed_runner(
+        sampler, n_ev, n_ev * 64, chunk=chunk, tile=tile, interpret=True
+    )
+    return jax.jit(run)(st, sk)
+
+
+def test_threefry_uniformity():
+    u = np.asarray(zc._uniform(jnp.int32(42), 0, (16, 12, 512), jnp.float32))
+    assert abs(u.mean() - 0.5) < 0.005
+    assert abs(u.std() - 0.2887) < 0.005
+    assert u.min() > 0 and u.max() < 1
+    # distinct rows decorrelated
+    c = np.corrcoef(u[:, 0, :].ravel(), u[:, 1, :].ravel())[0, 1]
+    assert abs(c) < 0.05
+
+
+def test_pallas_gaussian_moments():
+    sampler = pf.ZigZag(DIM, lambda x: x)
+    res = _run_pallas(sampler)
+    assert (np.asarray(res.skeleton.n_valid) == N_EV).all()
+    mean, var = pooled_moments(res.skeleton, sampler, 300)
+    assert np.all(np.abs(np.asarray(mean)) < 0.25)
+    assert np.all(np.abs(np.asarray(var) - 1.0) < 0.3)
+
+
+def test_pallas_matches_xla_statistics():
+    """Acceptance/rejection/horizon statistics agree with the XLA engine in
+    distribution (same law, different streams)."""
+    sampler = pf.ZigZag(DIM, lambda x: x)
+    res_p = _run_pallas(sampler)
+
+    st = sampler.init_state_batch(
+        np.zeros((B, DIM)), np.ones((B, DIM)), 0, dtype=jnp.float32
+    )
+    sk = empty_skeleton(N_EV, DIM, jnp.float32, batch_shape=(B,))
+    sk = engine.record_initial(sk, st, EV_INIT)
+    res_x = jax.jit(engine.make_fixed_event_runner(sampler, N_EV, N_EV * 64))(st, sk)
+
+    def stats(res):
+        s = res.skeleton
+        return (
+            float(np.asarray(s.ar)[:, 1:].mean()),
+            float(np.asarray(s.rejected).sum()) / (B * N_EV),
+            float(np.asarray(s.hitting_horizon).sum()) / (B * N_EV),
+            float(np.diff(np.asarray(s.t), axis=1).mean()),
+        )
+
+    ar_p, rej_p, hit_p, dt_p = stats(res_p)
+    ar_x, rej_x, hit_x, dt_x = stats(res_x)
+    assert abs(ar_p - ar_x) < 0.03, (ar_p, ar_x)
+    assert abs(rej_p - rej_x) < 0.03, (rej_p, rej_x)
+    assert abs(hit_p - hit_x) < 0.05, (hit_p, hit_x)
+    assert abs(dt_p - dt_x) / dt_x < 0.15, (dt_p, dt_x)
+
+
+def test_pallas_zigzag_invariants():
+    """ZigZag path invariants: |dx_i| == dt per coordinate, exactly one
+    coordinate flips per jump event, velocities stay in {-1, +1}."""
+    sampler = pf.ZigZag(DIM, lambda x: x)
+    res = _run_pallas(sampler, n_ev=60, B=128)
+    t = np.asarray(res.skeleton.t)[0]
+    X = np.asarray(res.skeleton.x)[0]
+    V = np.asarray(res.skeleton.v)[0]
+    dt = np.diff(t)
+    dX = np.abs(np.diff(X, axis=0))
+    np.testing.assert_allclose(
+        dX, np.broadcast_to(dt[:, None], dX.shape), atol=1e-4
+    )
+    flips = (np.abs(np.diff(V, axis=0)) > 0).sum(axis=1)
+    assert (flips == 1).all()
+    assert set(np.unique(V)) <= {-1.0, 1.0}
+
+
+def test_pallas_determinism():
+    sampler = pf.ZigZag(DIM, lambda x: x)
+    r1 = _run_pallas(sampler, n_ev=100, seed=5)
+    r2 = _run_pallas(sampler, n_ev=100, seed=5)
+    np.testing.assert_array_equal(
+        np.asarray(r1.skeleton.t), np.asarray(r2.skeleton.t)
+    )
+    r3 = _run_pallas(sampler, n_ev=100, seed=6)
+    assert not np.array_equal(np.asarray(r1.skeleton.t), np.asarray(r3.skeleton.t))
+
+
+def test_pallas_banana_runs():
+    from pdmpflux_tpu.utils.potentials import banana
+
+    sampler = pf.ZigZagAD(6, banana)
+    res = _run_pallas(sampler, n_ev=300, B=128)
+    assert (np.asarray(res.skeleton.n_valid) == 300).all()
+    x = np.asarray(res.skeleton.x)
+    assert np.all(np.isfinite(x))
+    assert abs(x[:, 100:, 0].mean()) < 0.5  # banana x0 marginal is N(0,1)
+
+
+def test_supports_pallas_gating():
+    assert pdrv.supports_pallas(pf.ZigZag(4, lambda x: x))
+    assert not pdrv.supports_pallas(pf.BPS(4, lambda x: x))
+    assert not pdrv.supports_pallas(pf.StickyZigZag(4, lambda x: x))
+    assert not pdrv.supports_pallas(pf.ZigZag(4, lambda x: x, grid_size=0))
+    with pytest.raises(ValueError):
+        pf.sample_skeleton(
+            pf.BPS(4, lambda x: x), 10, np.zeros(4), np.ones(4),
+            backend="pallas",
+        )
+
+
+def test_api_backend_pallas():
+    sampler = pf.ZigZag(DIM, lambda x: x)
+    skel = pf.sample_skeleton(
+        sampler, 200, np.zeros((128, DIM)), np.ones((128, DIM)),
+        seed=1, dtype=jnp.float32, backend="pallas",
+    )
+    assert (np.asarray(skel.n_valid) == 200).all()
