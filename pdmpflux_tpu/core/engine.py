@@ -285,6 +285,12 @@ def make_transition(sampler) -> Callable[[PDMPState], tuple]:
             jnp.where(p_stick, EV_STICK, jnp.where(p_thaw, EV_THAW, EV_NONE)),
         ).astype(jnp.int32)
         event = event_from_state(new_state, kind)
+        # Rows carry the *trajectory* time t + ts: identical to the committed
+        # event time at events (ts == 0 after a commit), and the physical
+        # time of the advanced position after horizon moves — which makes a
+        # dense stream of transition rows a valid (finer-grained) skeleton
+        # for interpolation (see the stream runners below).
+        event = event._replace(t=new_state.t + new_state.ts)
 
         # Counters reset after each recorded event (get_event_state!, :28-31).
         zero_i = jnp.zeros((), jnp.int32)
@@ -446,6 +452,120 @@ def _make_chunk_runner(sampler, capacity: int, max_transitions: int,
         return RunResult(state, skel, it * chunk)
 
     return run
+
+
+class StreamResult(NamedTuple):
+    state: PDMPState      # batched final state
+    stream: Skeleton      # (B, T_cap, ...) dense transition-row stream;
+                          # n_valid = rows written (same for every chain)
+    counts: jax.Array     # (B,) events recorded in the stream per chain
+    transitions: jax.Array  # () int32 transitions executed
+
+
+def make_stream_runner(sampler, t_cap: int, chunk: int = DEFAULT_CHUNK):
+    """TPU fast-path recorder: transitions stream densely into a
+    ``(B, t_cap, ...)`` buffer at the chunk offset via contiguous
+    ``dynamic_update_slice`` — no scatter anywhere in the loop.
+
+    Rationale (measured on v5e): per-event scatter costs ~0.15 us/row
+    serialized, capping both engines at ~1.7M events/s; contiguous slab
+    updates are bandwidth-speed.  The emitted rows carry trajectory time
+    ``t + ts`` (see ``make_transition``), so the raw stream is itself a
+    valid skeleton — monotone in time per chain, with ``kind > 0`` marking
+    true events.  Consumers interpolate directly on the stream; the
+    event-only view is extracted lazily (host-side boolean filtering).
+
+    Chains that reach ``n_events_target`` are frozen and emit ``kind = 0``
+    duplicate rows (harmless for interpolation).  The fused-Pallas variant
+    with the same contract lives in ``ops/pallas/driver.py``.
+    """
+    vtrans = jax.vmap(make_transition(sampler))
+    n_chunks = t_cap // chunk
+    if t_cap % chunk:
+        raise ValueError(f"t_cap={t_cap} must be a multiple of chunk={chunk}")
+
+    def run(state: PDMPState, stream: Skeleton, counts, n_events_target) -> StreamResult:
+        def live_of(state, counts):
+            return counts < n_events_target
+
+        def cond(carry):
+            state, stream, counts, it = carry
+            return (it < n_chunks) & jnp.any(live_of(state, counts))
+
+        def body(carry):
+            state, stream, counts, it = carry
+
+            def step(c, _):
+                state, counts = c
+                live = live_of(state, counts)
+                ns, ev = vtrans(state)
+                ns = tree_select(live, ns, state)
+                kind = jnp.where(live, ev.kind, jnp.zeros_like(ev.kind))
+                counts = counts + (kind > 0).astype(jnp.int32)
+                return (ns, counts), ev._replace(kind=kind)
+
+            (state, counts), evs = jax.lax.scan(
+                step, (state, counts), None, length=chunk
+            )
+            # (C, B, ...) -> (B, C, ...) slabs, written at the chunk offset
+            offset = it * chunk
+
+            def write(buf, val):
+                val = jnp.moveaxis(val, 0, 1).astype(buf.dtype)
+                zero = jnp.zeros_like(offset)
+                start = (zero, offset) + (zero,) * (buf.ndim - 2)
+                return jax.lax.dynamic_update_slice(buf, val, start)
+
+            stream = Skeleton(
+                x=write(stream.x, evs.x),
+                v=write(stream.v, evs.v),
+                t=write(stream.t, evs.t),
+                horizon=write(stream.horizon, evs.horizon),
+                ar=write(stream.ar, evs.ar),
+                is_active=write(stream.is_active, evs.is_active),
+                rejected=write(stream.rejected, evs.rejected),
+                errored_bound=write(stream.errored_bound, evs.errored_bound),
+                hitting_horizon=write(stream.hitting_horizon, evs.hitting_horizon),
+                error_value_ar=write(stream.error_value_ar, evs.error_value_ar),
+                kind=write(stream.kind, evs.kind),
+                n_valid=stream.n_valid + chunk,
+            )
+            return state, stream, counts, it + 1
+
+        state, stream, counts, it = jax.lax.while_loop(
+            cond, body, (state, stream, counts, jnp.zeros((), jnp.int32))
+        )
+        return StreamResult(state, stream, counts, it * chunk)
+
+    return run
+
+
+def empty_stream(t_cap: int, dim: int, dtype, B: int) -> Skeleton:
+    skel = empty_skeleton(t_cap, dim, dtype, batch_shape=(B,))
+    return skel._replace(n_valid=jnp.zeros((B,), jnp.int32))
+
+
+def compact_stream_host(stream: Skeleton, counts, n_keep=None):
+    """Extract the event-only skeleton view from a host-fetched stream.
+
+    Returns a list of per-chain dicts of numpy arrays (event rows only, in
+    order).  ``counts`` bounds events per chain; rows beyond ``n_valid`` are
+    unwritten padding.
+    """
+    import numpy as np
+
+    out = []
+    fields = [f for f in Skeleton._fields if f != "n_valid"]
+    kind = np.asarray(stream.kind)
+    n_valid = np.asarray(stream.n_valid)
+    for b in range(kind.shape[0]):
+        rows = np.nonzero(kind[b, : n_valid[b]] > 0)[0]
+        if n_keep is not None:
+            rows = rows[: int(n_keep)]
+        out.append(
+            {f: np.asarray(getattr(stream, f))[b, rows] for f in fields}
+        )
+    return out
 
 
 def make_fixed_event_runner(sampler, n_events: int, max_transitions: int,

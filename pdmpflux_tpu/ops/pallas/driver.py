@@ -32,6 +32,102 @@ def supports_pallas(sampler) -> bool:
     )
 
 
+def make_pallas_stream_runner(sampler, t_cap: int, n_events_target: int,
+                              chunk: int = 32, tile: int = 512,
+                              interpret: bool = False):
+    """Fused-kernel variant of ``engine.make_stream_runner``: each chunk is
+    one Pallas launch whose per-transition event stream writes densely into
+    the ``(B, t_cap, ...)`` buffers via contiguous ``dynamic_update_slice``
+    (no scatter anywhere — see the rationale in ``core/engine.py``)."""
+    grad_vec = sampler._cached(
+        "grad_vec", lambda: jax.vmap(sampler.grad_U, in_axes=1, out_axes=1)
+    )
+    n_grid = sampler.grid_size
+    signed = bool(sampler.signed_bound)
+    adaptive = bool(sampler.adaptive)
+    if t_cap % chunk:
+        raise ValueError(f"t_cap={t_cap} must be a multiple of chunk={chunk}")
+    n_chunks = t_cap // chunk
+
+    def run(state: PDMPState, stream: Skeleton, counts) -> engine.StreamResult:
+        B, d = state.x.shape
+        dtype = state.x.dtype
+        x = state.x.T
+        v = state.v.T
+        fs = jnp.stack(
+            [state.t, state.t_comp, state.ts, state.horizon, state.bound_h,
+             state.exp_rv, state.ar]
+        ).astype(dtype)
+        iscal = jnp.stack(
+            [state.mode, state.rejected, state.errored_bound,
+             state.hitting_horizon, counts]
+        ).astype(jnp.int32)
+        ring = state.error_value_ar.T.astype(dtype)
+        key_bits = jax.random.key_data(state.key)
+        seed0 = jax.lax.bitcast_convert_type(
+            jnp.sum(key_bits.astype(jnp.uint32), dtype=jnp.uint32), jnp.int32
+        )
+
+        def cond(c):
+            it, x, v, fs, iscal, ring, stream = c
+            return (it < n_chunks) & jnp.any(iscal[zc.I_CNT] < n_events_target)
+
+        def body(c):
+            it, x, v, fs, iscal, ring, stream = c
+            outs = zc.run_chunk(
+                seed0 + it * 1000003, x, v, fs, iscal, ring,
+                grad_vec=grad_vec, n_grid=n_grid, K=chunk,
+                adaptive=adaptive, signed=signed, refresh_rate=0.0,
+                cap=n_events_target, tile=tile, interpret=interpret,
+            )
+            x, v, fs, iscal, ring, evk, evx, evv, evfs, evring = outs
+            offset = it * chunk
+
+            def write(buf, val):
+                # val comes in kernel layout with transitions leading
+                val = val.astype(buf.dtype)
+                zero = jnp.zeros_like(offset)
+                start = (zero, offset) + (zero,) * (buf.ndim - 2)
+                return jax.lax.dynamic_update_slice(buf, val, start)
+
+            ones_act = jnp.ones((B, chunk, d), bool)
+            stream = Skeleton(
+                x=write(stream.x, evx.transpose(2, 0, 1)),
+                v=write(stream.v, evv.transpose(2, 0, 1)),
+                t=write(stream.t, evfs[:, 0].T),
+                horizon=write(stream.horizon, evfs[:, 1].T),
+                ar=write(stream.ar, evfs[:, 2].T),
+                is_active=write(stream.is_active, ones_act),
+                rejected=write(stream.rejected, evk[:, 1].T),
+                errored_bound=write(stream.errored_bound, evk[:, 2].T),
+                hitting_horizon=write(stream.hitting_horizon, evk[:, 3].T),
+                error_value_ar=write(stream.error_value_ar, evring.transpose(2, 0, 1)),
+                kind=write(stream.kind, evk[:, 0].T),
+                n_valid=stream.n_valid + chunk,
+            )
+            return it + 1, x, v, fs, iscal, ring, stream
+
+        it0 = jnp.zeros((), jnp.int32)
+        it, x, v, fs, iscal, ring, stream = jax.lax.while_loop(
+            cond, body, (it0, x, v, fs, iscal, ring, stream)
+        )
+        new_state = state._replace(
+            x=x.T, v=v.T, t=fs[zc.F_T], t_comp=fs[zc.F_TC], ts=fs[zc.F_TS],
+            horizon=fs[zc.F_H], bound_h=fs[zc.F_BH], exp_rv=fs[zc.F_EXP],
+            ar=fs[zc.F_AR], mode=iscal[zc.I_MODE], rejected=iscal[zc.I_REJ],
+            errored_bound=iscal[zc.I_ERR], hitting_horizon=iscal[zc.I_HIT],
+            error_value_ar=ring.T,
+            key=jax.vmap(jax.random.fold_in)(
+                state.key, jnp.full((B,), it, jnp.uint32)
+            ),
+        )
+        return engine.StreamResult(
+            new_state, stream, iscal[zc.I_CNT], it * chunk
+        )
+
+    return run
+
+
 def make_pallas_fixed_runner(sampler, n_events: int, max_transitions: int,
                              chunk: int = 32, tile: int = 512,
                              interpret: bool = False):

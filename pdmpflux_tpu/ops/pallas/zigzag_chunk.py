@@ -315,7 +315,10 @@ def _make_kernel(grad_vec: Callable, *, n_grid: int, K: int, dim: int,
             ev_kind[k] = jnp.stack([kind, rej_new, err_new, hit_new], axis=0)
             ev_x[k] = x_new
             ev_v[k] = v_new
-            ev_fs[k] = jnp.stack([t_new, h_new, ar_state], axis=0)
+            # trajectory time t + ts: equals the committed event time at
+            # events, and the physical time of x_new after horizon moves —
+            # makes the dense row stream a valid skeleton (engine.py).
+            ev_fs[k] = jnp.stack([t_new + ts_new, h_new, ar_state], axis=0)
             ev_ring[k] = ring_new
 
             # counters reset after a recorded event

@@ -1,0 +1,102 @@
+"""Stream-recording runner tests (the TPU fast path, CPU-validated).
+
+The dense transition-row stream must be a valid skeleton: monotone
+trajectory times per chain, correct interpolation moments, and an exact
+event-only view under host compaction (see ``core/engine.py`` rationale).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pdmpflux_tpu as pf
+from pdmpflux_tpu.core import engine
+from pdmpflux_tpu.core.types import EV_INIT, empty_skeleton
+from pdmpflux_tpu.ops.pallas import driver as pdrv
+from pdmpflux_tpu.parallel.sharded import pooled_moments
+
+DIM, B, TARGET, T_CAP = 4, 128, 300, 1024
+
+
+def _prep(sampler, seed=0):
+    st = sampler.init_state_batch(
+        np.zeros((B, DIM)), np.ones((B, DIM)), seed, dtype=jnp.float32
+    )
+    stream = engine.empty_stream(T_CAP, DIM, jnp.float32, B)
+    counts = jnp.zeros((B,), jnp.int32)
+    return st, stream, counts
+
+
+def test_xla_stream_monotone_and_complete():
+    sampler = pf.ZigZag(DIM, lambda x: x)
+    run = jax.jit(engine.make_stream_runner(sampler, T_CAP, chunk=32),
+                  static_argnums=(3,))
+    res = run(*_prep(sampler), TARGET)
+    counts = np.asarray(res.counts)
+    assert (counts == TARGET).all()
+    rows = int(np.asarray(res.stream.n_valid)[0])
+    t = np.asarray(res.stream.t)[:, :rows]
+    assert np.all(np.diff(t, axis=1) >= 0)
+    mean, var = pooled_moments(res.stream, sampler, 300)
+    assert np.all(np.abs(np.asarray(var) - 1.0) < 0.3)
+
+
+def test_stream_matches_compact_runner_exactly():
+    """Same seeds => the stream's event rows equal the scatter-compacted
+    skeleton events (identical transition sequence, different recording)."""
+    sampler = pf.ZigZag(DIM, lambda x: x)
+    run_s = jax.jit(engine.make_stream_runner(sampler, T_CAP, chunk=32),
+                    static_argnums=(3,))
+    res_s = run_s(*_prep(sampler, seed=3), TARGET)
+    ev = engine.compact_stream_host(res_s.stream, res_s.counts)
+
+    st = sampler.init_state_batch(
+        np.zeros((B, DIM)), np.ones((B, DIM)), 3, dtype=jnp.float32
+    )
+    skel = empty_skeleton(TARGET + 1, DIM, jnp.float32, batch_shape=(B,))
+    skel = engine.record_initial(skel, st, EV_INIT)
+    run_c = jax.jit(
+        engine.make_fixed_event_runner(sampler, TARGET + 1, T_CAP * 4)
+    )
+    res_c = run_c(st, skel)
+
+    for b in (0, 7, B - 1):
+        np.testing.assert_allclose(
+            ev[b]["t"][:TARGET],
+            np.asarray(res_c.skeleton.t)[b, 1 : TARGET + 1],
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            ev[b]["x"][:TARGET],
+            np.asarray(res_c.skeleton.x)[b, 1 : TARGET + 1],
+            rtol=1e-5, atol=1e-6,
+        )
+
+
+def test_pallas_stream_interpret():
+    sampler = pf.ZigZag(DIM, lambda x: x)
+    run = jax.jit(pdrv.make_pallas_stream_runner(
+        sampler, T_CAP, TARGET, chunk=16, tile=128, interpret=True
+    ))
+    res = run(*_prep(sampler))
+    assert (np.asarray(res.counts) == TARGET).all()
+    rows = int(np.asarray(res.stream.n_valid)[0])
+    t = np.asarray(res.stream.t)[:, :rows]
+    assert np.all(np.diff(t, axis=1) >= 0)
+    mean, var = pooled_moments(res.stream, sampler, 300)
+    assert np.all(np.abs(np.asarray(var) - 1.0) < 0.35)
+
+
+def test_stream_overflow_reports_partial():
+    sampler = pf.ZigZag(DIM, lambda x: x)
+    tiny_cap = 64
+    run = jax.jit(engine.make_stream_runner(sampler, tiny_cap, chunk=32),
+                  static_argnums=(3,))
+    st = sampler.init_state_batch(
+        np.zeros((B, DIM)), np.ones((B, DIM)), 0, dtype=jnp.float32
+    )
+    stream = engine.empty_stream(tiny_cap, DIM, jnp.float32, B)
+    res = run(st, stream, jnp.zeros((B,), jnp.int32), 10_000)
+    assert int(res.transitions) == tiny_cap
+    assert (np.asarray(res.counts) < 10_000).all()
