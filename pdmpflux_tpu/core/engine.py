@@ -462,7 +462,8 @@ class StreamResult(NamedTuple):
     transitions: jax.Array  # () int32 transitions executed
 
 
-def make_stream_runner(sampler, t_cap: int, chunk: int = DEFAULT_CHUNK):
+def make_stream_runner(sampler, t_cap: int, chunk: int = DEFAULT_CHUNK,
+                       mode: str = "events"):
     """TPU fast-path recorder: transitions stream densely into a
     ``(B, t_cap, ...)`` buffer at the chunk offset via contiguous
     ``dynamic_update_slice`` — no scatter anywhere in the loop.
@@ -484,9 +485,13 @@ def make_stream_runner(sampler, t_cap: int, chunk: int = DEFAULT_CHUNK):
     if t_cap % chunk:
         raise ValueError(f"t_cap={t_cap} must be a multiple of chunk={chunk}")
 
-    def run(state: PDMPState, stream: Skeleton, counts, n_events_target) -> StreamResult:
+    def run(state: PDMPState, stream: Skeleton, counts, target) -> StreamResult:
         def live_of(state, counts):
-            return counts < n_events_target
+            # "events": run until `target` events per chain;
+            # "horizon": run until the event clock passes time `target`.
+            if mode == "horizon":
+                return state.t < target
+            return counts < target
 
         def cond(carry):
             state, stream, counts, it = carry
