@@ -43,21 +43,21 @@ def main(quick: bool = False):
     configs = [
         dict(name="zigzag_gauss_d10", dim=10,
              make=lambda: pf.ZigZagAD(10, potentials.gauss),
-             B=1024 // scale, n_ev=2048 // scale, pallas=True),
+             B=4096 // scale, n_ev=2048 // scale),
         dict(name="zigzag_banana_d50_constbound", dim=50,
              make=lambda: pf.ZigZag(50, banana_grad, grid_size=0),
-             B=512 // scale, n_ev=1024 // scale, pallas=False),
+             B=512 // scale, n_ev=2048 // scale),
         dict(name="bps_anisotropic_gauss_d10", dim=10,
              make=lambda: pf.BPSAD(10, potentials.anisotropic_gauss(
                  np.linspace(0.5, 3.0, 10)), refresh_rate=0.5),
-             B=512 // scale, n_ev=1024 // scale, pallas=False),
+             B=512 // scale, n_ev=1024 // scale),
         dict(name="boomerang_gauss_d10", dim=10,
              make=lambda: pf.Boomerang(10, lambda x: x, refresh_rate=0.5),
-             B=512 // scale, n_ev=1024 // scale, pallas=False),
+             B=512 // scale, n_ev=1024 // scale),
         dict(name="sticky_zigzag_d1000", dim=1000,
              make=lambda: pf.StickyZigZagAD(
                  1000, potentials.gauss, np.full(1000, 10.0)),
-             B=64 // max(scale // 4, 1), n_ev=512 // scale, pallas=False),
+             B=64 // max(scale // 4, 1), n_ev=8192 // scale),
     ]
 
     for cfg in configs:
@@ -70,7 +70,9 @@ def main(quick: bool = False):
             x0 = np.ones((B, dim))
         v0 = np.ones((B, dim))
 
-        backend = "pallas" if (cfg["pallas"] and on_tpu and B % 512 == 0) else "xla"
+        # "auto" selects the scatter-free stream recorders on TPU (with the
+        # fused Pallas kernel for ZigZag-family samplers).
+        backend = "auto" if on_tpu else "xla"
         kw = dict(seed=0, dtype=jnp.float32, backend=backend)
 
         # warmup/compile

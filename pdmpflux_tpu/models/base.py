@@ -114,7 +114,17 @@ class PDMP:
         tderiv: str = "jvp",
         potential: Optional[Callable] = None,
         ad_backend: str = "jax",
+        AD_backend: Optional[str] = None,
     ):
+        # Reference-API compatibility: PDMPFlux spells the kwarg
+        # ``AD_backend`` and uses it to pick among Julia AD packages
+        # (ADBackend.jl); in JAX there is one AD, so the value is recorded
+        # and, for "FiniteDiff", mapped onto the finite-difference
+        # time-derivative mode of the envelope.
+        if AD_backend is not None:
+            ad_backend = AD_backend
+            if AD_backend in ("FiniteDiff", "Undefined", ""):
+                tderiv = "finite_diff"
         if dim <= 0:
             raise ValueError(f"dimension dim must be positive. Current value: {dim}")
         if grid_size < 0:

@@ -16,20 +16,29 @@ from ...core.types import Event, PDMPState, Skeleton
 from . import zigzag_chunk as zc
 
 
-def supports_pallas(sampler) -> bool:
-    """The fused kernel covers the Zig-Zag family default configuration:
-    linear flow, vectorized grid bound, non-sticky, grid_size >= 2."""
-    from ...models.zigzag import ZigZag
-    from ...models.sticky import StickyZigZag
-    from ...models.speedup_zigzag import SpeedUpZigZag
+def kernel_kind(sampler):
+    """Which fused-kernel variant covers this sampler, or None.
 
-    return (
+    * ``"zigzag"``: plain ZigZag with vectorized grid bound (non-sticky);
+    * ``"bps"``: BPS with its scalar grid bound (grid_size >= 2).
+    """
+    from ...models.bps import BPS
+    from ...models.zigzag import ZigZag
+
+    if (
         type(sampler) is ZigZag
-        and not isinstance(sampler, (StickyZigZag, SpeedUpZigZag))
         and sampler.vectorized_bound
         and sampler.grid_size >= 2
         and not sampler.sticky
-    )
+    ):
+        return "zigzag"
+    if type(sampler) is BPS and sampler.grid_size >= 2:
+        return "bps"
+    return None
+
+
+def supports_pallas(sampler) -> bool:
+    return kernel_kind(sampler) is not None
 
 
 def make_pallas_stream_runner(sampler, t_cap: int, n_events_target: int,
@@ -45,6 +54,11 @@ def make_pallas_stream_runner(sampler, t_cap: int, n_events_target: int,
     n_grid = sampler.grid_size
     signed = bool(sampler.signed_bound)
     adaptive = bool(sampler.adaptive)
+    kind = kernel_kind(sampler)
+    if kind is None:
+        raise ValueError(f"no fused kernel covers sampler {type(sampler).__name__}")
+    refresh = float(sampler.refresh_rate)
+    gaussian_velocity = bool(getattr(sampler, "gaussian_velocity", False))
     if t_cap % chunk:
         raise ValueError(f"t_cap={t_cap} must be a multiple of chunk={chunk}")
     n_chunks = t_cap // chunk
@@ -77,8 +91,9 @@ def make_pallas_stream_runner(sampler, t_cap: int, n_events_target: int,
             outs = zc.run_chunk(
                 seed0 + it * 1000003, x, v, fs, iscal, ring,
                 grad_vec=grad_vec, n_grid=n_grid, K=chunk,
-                adaptive=adaptive, signed=signed, refresh_rate=0.0,
+                adaptive=adaptive, signed=signed, refresh_rate=refresh,
                 cap=n_events_target, tile=tile, interpret=interpret,
+                kind=kind, gaussian_velocity=gaussian_velocity,
             )
             x, v, fs, iscal, ring, evk, evx, evv, evfs, evring = outs
             offset = it * chunk
@@ -137,6 +152,11 @@ def make_pallas_fixed_runner(sampler, n_events: int, max_transitions: int,
     n_grid = sampler.grid_size
     signed = bool(sampler.signed_bound)
     adaptive = bool(sampler.adaptive)
+    kind = kernel_kind(sampler)
+    if kind is None:
+        raise ValueError(f"no fused kernel covers sampler {type(sampler).__name__}")
+    refresh = float(sampler.refresh_rate)
+    gaussian_velocity = bool(getattr(sampler, "gaussian_velocity", False))
     n_chunks = max(1, -(-max_transitions // chunk))
 
     def run(state: PDMPState, skel: Skeleton) -> engine.RunResult:
@@ -167,8 +187,9 @@ def make_pallas_fixed_runner(sampler, n_events: int, max_transitions: int,
             outs = zc.run_chunk(
                 seed0 + it * 1000003, x, v, fs, iscal, ring,
                 grad_vec=grad_vec, n_grid=n_grid, K=chunk,
-                adaptive=adaptive, signed=signed, refresh_rate=0.0,
+                adaptive=adaptive, signed=signed, refresh_rate=refresh,
                 cap=n_events, tile=tile, interpret=interpret,
+                kind=kind, gaussian_velocity=gaussian_velocity,
             )
             x, v, fs, iscal, ring, evk, evx, evv, evfs, evring = outs
             C = chunk

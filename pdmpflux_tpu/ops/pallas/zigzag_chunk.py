@@ -14,20 +14,24 @@ Per-lane gathers (envelope inversion, ring-buffer updates) are unrolled into
 ``G+1``-way selects, which is branch-free and cheap for the small grids the
 thinning scheme uses (default ``grid_size = 10``).
 
-Scope: Zig-Zag family (linear flow, vectorized signed/unsigned grid bound,
-non-sticky) — the reference's default configuration and the benchmark
-config.  Other samplers use the XLA engine path.
+Scope (``kind`` parameter): ``"zigzag"`` — plain ZigZag with the vectorized
+signed/unsigned grid bound (the reference default config) — and ``"bps"`` —
+the Bouncy Particle Sampler's scalar-dot rate with bounce-or-refresh jumps.
+Other samplers use the XLA engine path.
 
-RNG: the TPU-native per-core PRNG (``pltpu.prng_seed`` / ``prng_random_bits``),
-seeded per (tile, chunk) from the driver-provided base seed.  Streams differ
-from the XLA path's threefry keys by construction; determinism holds for a
-fixed (seed, chain-tile, chunk) triple, and correctness is validated
-statistically (posterior moments), exactly as SURVEY.md §7 prescribes for
-FP-sensitive paths.
+RNG: a pure-jnp Threefry2x32 keyed on (seed, tile, chunk, transition,
+position) counters — identical streams compiled and interpreted (the native
+``pltpu`` PRNG silently returns zeros under interpretation and inside lax
+loops).  Streams differ from the XLA path's jax.random keys by
+construction; determinism holds for a fixed seed, and correctness is
+validated statistically (posterior moments, acceptance statistics), exactly
+as SURVEY.md §7 prescribes for FP-sensitive paths.
 
 Semantics mirror ``core/engine.py:make_transition`` (same MODE_* machine,
-same adaptive constants from ``SamplingLoopInplace.jl``); the event stream
-output feeds the same ``_compact_chunk`` scatter.
+same adaptive constants from ``SamplingLoopInplace.jl``); the per-transition
+event stream feeds either the scatter compactor (``engine._compact_chunk``)
+or, on TPU, the dense stream recorder (``engine.make_stream_runner``
+rationale).
 """
 
 from __future__ import annotations
@@ -111,12 +115,20 @@ def _uniform(seed, salt, shape, dtype):
 
 def _make_kernel(grad_vec: Callable, *, n_grid: int, K: int, dim: int,
                  adaptive: bool, signed: bool, refresh_rate: float,
-                 cap: int, dtype):
+                 cap: int, dtype, kind: str = "zigzag",
+                 gaussian_velocity: bool = False):
     """Build the kernel body.
 
     ``grad_vec``: batched gradient ``(d, TB) -> (d, TB)`` (``jax.vmap`` of
     the user gradient over the lane axis — vmap/jvp trace fine inside Pallas
     kernels).
+
+    ``kind``:
+      * ``"zigzag"`` — per-dimension vectorized rates, gumbel-argmax
+        coordinate flip (ZigZag family, reference default config);
+      * ``"bps"``    — scalar-dot rate ``<grad_U, v> (+ refresh)`` with the
+        bounce-or-refresh velocity kernel (BouncyParticleSamplers.jl:39-74);
+        Gaussian refresh velocities come from Box-Muller pairs.
     """
     G = n_grid - 1  # segments
 
@@ -156,25 +168,40 @@ def _make_kernel(grad_vec: Callable, *, n_grid: int, K: int, dim: int,
             )
             tis = bh_s[None, :] * fracs  # (n_grid, TB)
 
-            def f(t):
-                r = signed_rates(x, v, t)
-                return r if signed else jnp.maximum(r, 0.0)
+            if kind == "zigzag":
+                def f(t):
+                    r = signed_rates(x, v, t)
+                    return r if signed else jnp.maximum(r, 0.0)
+            else:  # scalar-dot rate (BPS): includes refresh inside, like the
+                   # reference's closures (BouncyParticleSamplers.jl:39-47)
+                def f(t):
+                    g = grad_vec(x + v * t[None, :])
+                    s = jnp.sum(g * v, axis=0) + refresh_rate
+                    return s if signed else jnp.maximum(s, 0.0)
 
             vals, ders = jax.vmap(
                 lambda t: jax.jvp(f, (t,), (one,))
-            )(tis)  # (n_grid, d, TB)
+            )(tis)  # (n_grid, d, TB) for zigzag; (n_grid, TB) for scalar
 
             step = bh_s / G
+            bstep = step.reshape((1,) * (vals.ndim - 1) + (TB,))
             f0, f1 = vals[:-1], vals[1:]
             g0, g1 = ders[:-1], ders[1:]
             den = g1 - g0
-            num = f0 - f1 + g1 * step[None, None, :]
+            num = f0 - f1 + g1 * bstep
             ip = jnp.where(den == 0, 0.0, num / jnp.where(den == 0, 1.0, den))
             ip = jnp.where(jnp.isnan(ip), 0.0, ip)
-            ip = jnp.clip(ip, 0.0, step[None, None, :])
+            ip = jnp.clip(ip, 0.0, bstep)
             inter = f0 + g0 * ip
             box_nd = jnp.maximum(jnp.maximum(f0, f1), jnp.maximum(inter, 0.0))
-            box = jnp.sum(box_nd, axis=1) + refresh_rate  # (G, TB)
+            # zigzag sums per-dim envelopes (no refresh, UpperBound.jl:246);
+            # the scalar grid path adds refresh on top (AbstractPDMP.jl:129,
+            # conservatively double-counting with the closure's own refresh,
+            # exactly like the reference — envelope slack is law-exact).
+            if kind == "zigzag":
+                box = jnp.sum(box_nd, axis=1) + refresh_rate  # (G, TB)
+            else:
+                box = box_nd + (refresh_rate if signed else 0.0)  # (G, TB)
             seg_int = box * step[None, :]
             # unrolled prefix sum (Mosaic has no cumsum primitive; G is small)
             rows = [jnp.zeros((TB,), dtype)]
@@ -199,9 +226,15 @@ def _make_kernel(grad_vec: Callable, *, n_grid: int, K: int, dim: int,
             erroneous = mode == MODE_ERRONEOUS
             tp_safe = jnp.where(overflow, 0.0, tp)
 
-            # ---- thinning evaluation at tp -------------------------------
-            lam_vec = jnp.maximum(signed_rates(x, v, tp_safe), 0.0)
-            lam_t = jnp.sum(lam_vec, axis=0)
+            # ---- thinning evaluation at tp (unsigned true rate) ----------
+            if kind == "zigzag":
+                lam_vec = jnp.maximum(signed_rates(x, v, tp_safe), 0.0)
+                lam_t = jnp.sum(lam_vec, axis=0)
+            else:
+                g_tp = grad_vec(x + v * tp_safe[None, :])
+                lam_t = (
+                    jnp.maximum(0.0, jnp.sum(g_tp * v, axis=0)) + refresh_rate
+                )
             ar_new = lam_t / lam_bar
 
             beyond = overflow | (tp > h_s)
@@ -213,8 +246,10 @@ def _make_kernel(grad_vec: Callable, *, n_grid: int, K: int, dim: int,
             # Per-transition randomness: pure threefry counters salted by the
             # loop index (Mosaic supports no dynamic_slice on values, and the
             # stateful TPU PRNG is unreliable inside lax loops).  Rows:
-            # [exp-clock uniform, accept uniform, d gumbel uniforms].
-            u_row = _uniform(seed_val, k, (dim + 2, TB), dtype)
+            # zigzag: [exp, accept, d gumbels];
+            # bps:    [exp, accept, bounce, 2d Box-Muller uniforms].
+            n_u = (dim + 2) if kind == "zigzag" else (3 + 2 * dim)
+            u_row = _uniform(seed_val, k, (n_u, TB), dtype)
             u_acc = u_row[1]
             acc = u_acc < ar_new
             p_acc = p_proxy & acc
@@ -224,21 +259,49 @@ def _make_kernel(grad_vec: Callable, *, n_grid: int, K: int, dim: int,
             flow_t = jnp.where(p_moveh, h_s, jnp.where(p_acc, tp_safe, 0.0))
             x_new = x + v * flow_t[None, :]
 
-            # ---- velocity flip (gumbel-argmax over per-dim rates) --------
-            rates_flip = jnp.maximum(grad_vec(x_new) * v, 0.0)
-            u_g = u_row[2:]
-            gumbel = -jnp.log(-jnp.log(u_g))
-            logits = jnp.where(
-                rates_flip > 0,
-                jnp.log(jnp.where(rates_flip > 0, rates_flip, 1.0)),
-                -jnp.inf,
-            )
-            m = jnp.argmax(logits + gumbel, axis=0)  # (TB,)
-            onehot = (
-                jax.lax.broadcasted_iota(jnp.int32, (dim, TB), 0) == m[None, :]
-            )
-            flip = onehot & p_acc[None, :]
-            v_new = jnp.where(flip, -v, v)
+            # ---- velocity jump -------------------------------------------
+            if kind == "zigzag":
+                # gumbel-argmax coordinate flip over per-dim rates
+                rates_flip = jnp.maximum(grad_vec(x_new) * v, 0.0)
+                u_g = u_row[2:]
+                gumbel = -jnp.log(-jnp.log(u_g))
+                logits = jnp.where(
+                    rates_flip > 0,
+                    jnp.log(jnp.where(rates_flip > 0, rates_flip, 1.0)),
+                    -jnp.inf,
+                )
+                m = jnp.argmax(logits + gumbel, axis=0)  # (TB,)
+                onehot = (
+                    jax.lax.broadcasted_iota(jnp.int32, (dim, TB), 0)
+                    == m[None, :]
+                )
+                flip = onehot & p_acc[None, :]
+                v_new = jnp.where(flip, -v, v)
+            else:
+                # bounce-or-refresh (BouncyParticleSamplers.jl:50-74)
+                g_j = grad_vec(x_new)
+                br = jnp.maximum(0.0, jnp.sum(g_j * v, axis=0))
+                denom_b = br + refresh_rate
+                prob = jnp.where(
+                    denom_b > 0, br / jnp.where(denom_b > 0, denom_b, 1.0), 0.0
+                )
+                gg = jnp.sum(g_j * g_j, axis=0)
+                scale = 2.0 * jnp.sum(v * g_j, axis=0) / jnp.where(gg > 0, gg, 1.0)
+                v_reflect = jnp.where(
+                    (gg > 0)[None, :], v - scale[None, :] * g_j, v
+                )
+                # Box-Muller normals for the refresh draw
+                u1 = u_row[3 : 3 + dim]
+                u2 = u_row[3 + dim : 3 + 2 * dim]
+                z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
+                    2.0 * jnp.pi * u2
+                )
+                if not gaussian_velocity:
+                    nrm = jnp.sqrt(jnp.sum(z * z, axis=0))
+                    z = z / jnp.where(nrm > 0, nrm, 1.0)[None, :]
+                bounce = (u_row[2] < prob)[None, :]
+                v_jumped = jnp.where(bounce, v_reflect, z)
+                v_new = jnp.where(p_acc[None, :], v_jumped, v)
 
             # ---- time commitment (Kahan) ---------------------------------
             inc = tp_safe + ts_s
@@ -309,10 +372,10 @@ def _make_kernel(grad_vec: Callable, *, n_grid: int, K: int, dim: int,
             hit_new = jnp.where(live, hit_new, hit)
             is_event = is_event & live
 
-            kind = jnp.where(is_event, EV_JUMP, EV_NONE).astype(jnp.int32)
-            cnt_new = cnt + (kind > 0).astype(jnp.int32)
+            kval = jnp.where(is_event, EV_JUMP, EV_NONE).astype(jnp.int32)
+            cnt_new = cnt + (kval > 0).astype(jnp.int32)
             # rows of the kind block: [kind, rejected, errored, hitting]
-            ev_kind[k] = jnp.stack([kind, rej_new, err_new, hit_new], axis=0)
+            ev_kind[k] = jnp.stack([kval, rej_new, err_new, hit_new], axis=0)
             ev_x[k] = x_new
             ev_v[k] = v_new
             # trajectory time t + ts: equals the committed event time at
@@ -351,10 +414,12 @@ def _make_kernel(grad_vec: Callable, *, n_grid: int, K: int, dim: int,
 @functools.partial(
     jax.jit,
     static_argnames=("grad_vec", "n_grid", "K", "adaptive", "signed",
-                     "refresh_rate", "cap", "tile", "interpret"),
+                     "refresh_rate", "cap", "tile", "interpret", "kind",
+                     "gaussian_velocity"),
 )
 def run_chunk(seed, x, v, fs, iscal, ring, *, grad_vec, n_grid, K,
-              adaptive, signed, refresh_rate, cap, tile=512, interpret=False):
+              adaptive, signed, refresh_rate, cap, tile=512, interpret=False,
+              kind="zigzag", gaussian_velocity=False):
     """Run one fused chunk of ``K`` transitions.
 
     Inputs are kernel-layout: ``x``/``v`` ``(d, B)``, ``fs`` ``(NF, B)``,
@@ -373,6 +438,7 @@ def run_chunk(seed, x, v, fs, iscal, ring, *, grad_vec, n_grid, K,
     kernel = _make_kernel(
         grad_vec, n_grid=n_grid, K=K, dim=d, adaptive=adaptive,
         signed=signed, refresh_rate=refresh_rate, cap=cap, dtype=dtype,
+        kind=kind, gaussian_velocity=gaussian_velocity,
     )
 
     def col_spec(rows):

@@ -125,15 +125,55 @@ def test_pallas_banana_runs():
 
 
 def test_supports_pallas_gating():
-    assert pdrv.supports_pallas(pf.ZigZag(4, lambda x: x))
-    assert not pdrv.supports_pallas(pf.BPS(4, lambda x: x))
+    assert pdrv.kernel_kind(pf.ZigZag(4, lambda x: x)) == "zigzag"
+    assert pdrv.kernel_kind(pf.BPS(4, lambda x: x)) == "bps"
+    assert not pdrv.supports_pallas(pf.Boomerang(4, lambda x: x))
     assert not pdrv.supports_pallas(pf.StickyZigZag(4, lambda x: x))
     assert not pdrv.supports_pallas(pf.ZigZag(4, lambda x: x, grid_size=0))
     with pytest.raises(ValueError):
         pf.sample_skeleton(
-            pf.BPS(4, lambda x: x), 10, np.zeros(4), np.ones(4),
+            pf.Boomerang(4, lambda x: x), 10, np.zeros(4), np.ones(4),
             backend="pallas",
         )
+
+
+def test_pallas_bps_matches_xla_statistics():
+    """BPS kernel variant: posterior moments and acceptance statistics agree
+    with the XLA engine in law."""
+    from pdmpflux_tpu.parallel.sharded import pooled_moments
+
+    bps = pf.BPS(DIM, lambda x: x, refresh_rate=0.5)
+    t_cap, target = 2048, 400
+    rng = np.random.default_rng(0)
+
+    def prep(seed):
+        st = bps.init_state_batch(
+            np.zeros((B, DIM)), rng.normal(size=(B, DIM)), seed,
+            dtype=jnp.float32,
+        )
+        stream = engine.empty_stream(t_cap, DIM, jnp.float32, B)
+        return st, stream, jnp.zeros((B,), jnp.int32)
+
+    run_p = jax.jit(pdrv.make_pallas_stream_runner(
+        bps, t_cap, target, chunk=16, tile=128, interpret=True
+    ))
+    res_p = run_p(*prep(0))
+    assert (np.asarray(res_p.counts) == target).all()
+    mean_p, var_p = pooled_moments(res_p.stream, bps, 300)
+    assert np.all(np.abs(np.asarray(mean_p)) < 0.25)
+    assert np.all(np.abs(np.asarray(var_p) - 1.0) < 0.3)
+
+    run_x = jax.jit(engine.make_stream_runner(bps, t_cap, chunk=32),
+                    static_argnums=(3,))
+    res_x = run_x(*prep(1), target)
+
+    def acc_ar(res):
+        nv = int(np.asarray(res.stream.n_valid)[0])
+        k = np.asarray(res.stream.kind)[:, :nv]
+        ar = np.asarray(res.stream.ar)[:, :nv]
+        return float(ar[k == pf.EV_JUMP].mean())
+
+    assert abs(acc_ar(res_p) - acc_ar(res_x)) < 0.04
 
 
 def test_api_backend_pallas():
