@@ -41,6 +41,38 @@ def supports_pallas(sampler) -> bool:
     return kernel_kind(sampler) is not None
 
 
+def convert_grad(sampler, dim: int, tile: int, dtype):
+    """Closure-convert the lane-batched gradient for Pallas.
+
+    Pallas kernels cannot capture non-scalar constants, but real potentials
+    close over data (observations, scale vectors, ...).  This traces the
+    gradient to a jaxpr, hoists every non-scalar const out, and returns
+    ``(closed, consts)`` with ``closed((d, TB) x, *consts) -> (d, TB)``; the
+    driver feeds ``consts`` to ``run_chunk`` as explicit kernel inputs.
+    (``jax.closure_convert`` is not usable here: it hoists only consts that
+    are outer-scope *tracers*, leaving concrete arrays embedded.)
+    """
+    def build():
+        import numpy as np
+
+        gv = jax.vmap(sampler.grad_U, in_axes=1, out_axes=1)
+        cj = jax.make_jaxpr(gv)(jax.ShapeDtypeStruct((dim, tile), dtype))
+        consts = list(cj.consts)
+        hoist_idx = [i for i, c in enumerate(consts) if np.ndim(c) > 0]
+        hoisted = tuple(jnp.asarray(consts[i]) for i in hoist_idx)
+
+        def closed(xs, *hs):
+            cs = list(consts)
+            for i, h in zip(hoist_idx, hs):
+                cs[i] = h
+            (out,) = jax.core.eval_jaxpr(cj.jaxpr, cs, xs)
+            return out
+
+        return closed, hoisted
+
+    return sampler._cached(("pallas_grad", dim, tile, jnp.dtype(dtype).name), build)
+
+
 def make_pallas_stream_runner(sampler, t_cap: int, n_events_target: int,
                               chunk: int = 32, tile: int = 512,
                               interpret: bool = False):
@@ -48,9 +80,6 @@ def make_pallas_stream_runner(sampler, t_cap: int, n_events_target: int,
     one Pallas launch whose per-transition event stream writes densely into
     the ``(B, t_cap, ...)`` buffers via contiguous ``dynamic_update_slice``
     (no scatter anywhere — see the rationale in ``core/engine.py``)."""
-    grad_vec = sampler._cached(
-        "grad_vec", lambda: jax.vmap(sampler.grad_U, in_axes=1, out_axes=1)
-    )
     n_grid = sampler.grid_size
     signed = bool(sampler.signed_bound)
     adaptive = bool(sampler.adaptive)
@@ -66,6 +95,7 @@ def make_pallas_stream_runner(sampler, t_cap: int, n_events_target: int,
     def run(state: PDMPState, stream: Skeleton, counts) -> engine.StreamResult:
         B, d = state.x.shape
         dtype = state.x.dtype
+        grad_closed, grad_consts = convert_grad(sampler, d, tile, dtype)
         x = state.x.T
         v = state.v.T
         fs = jnp.stack(
@@ -90,7 +120,7 @@ def make_pallas_stream_runner(sampler, t_cap: int, n_events_target: int,
             it, x, v, fs, iscal, ring, stream = c
             outs = zc.run_chunk(
                 seed0 + it * 1000003, x, v, fs, iscal, ring,
-                grad_vec=grad_vec, n_grid=n_grid, K=chunk,
+                grad_vec=grad_closed, grad_consts=grad_consts, n_grid=n_grid, K=chunk,
                 adaptive=adaptive, signed=signed, refresh_rate=refresh,
                 cap=n_events_target, tile=tile, interpret=interpret,
                 kind=kind, gaussian_velocity=gaussian_velocity,
@@ -146,9 +176,6 @@ def make_pallas_stream_runner(sampler, t_cap: int, n_events_target: int,
 def make_pallas_fixed_runner(sampler, n_events: int, max_transitions: int,
                              chunk: int = 32, tile: int = 512,
                              interpret: bool = False):
-    grad_vec = sampler._cached(
-        "grad_vec", lambda: jax.vmap(sampler.grad_U, in_axes=1, out_axes=1)
-    )
     n_grid = sampler.grid_size
     signed = bool(sampler.signed_bound)
     adaptive = bool(sampler.adaptive)
@@ -162,6 +189,7 @@ def make_pallas_fixed_runner(sampler, n_events: int, max_transitions: int,
     def run(state: PDMPState, skel: Skeleton) -> engine.RunResult:
         B, d = state.x.shape
         dtype = state.x.dtype
+        grad_closed, grad_consts = convert_grad(sampler, d, tile, dtype)
         x = state.x.T
         v = state.v.T
         fs = jnp.stack(
@@ -186,7 +214,7 @@ def make_pallas_fixed_runner(sampler, n_events: int, max_transitions: int,
             it, x, v, fs, iscal, ring, skel = c
             outs = zc.run_chunk(
                 seed0 + it * 1000003, x, v, fs, iscal, ring,
-                grad_vec=grad_vec, n_grid=n_grid, K=chunk,
+                grad_vec=grad_closed, grad_consts=grad_consts, n_grid=n_grid, K=chunk,
                 adaptive=adaptive, signed=signed, refresh_rate=refresh,
                 cap=n_events, tile=tile, interpret=interpret,
                 kind=kind, gaussian_velocity=gaussian_velocity,

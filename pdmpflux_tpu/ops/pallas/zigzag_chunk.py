@@ -116,12 +116,17 @@ def _uniform(seed, salt, shape, dtype):
 def _make_kernel(grad_vec: Callable, *, n_grid: int, K: int, dim: int,
                  adaptive: bool, signed: bool, refresh_rate: float,
                  cap: int, dtype, kind: str = "zigzag",
-                 gaussian_velocity: bool = False):
+                 gaussian_velocity: bool = False,
+                 const_shapes: tuple = ()):
     """Build the kernel body.
 
-    ``grad_vec``: batched gradient ``(d, TB) -> (d, TB)`` (``jax.vmap`` of
-    the user gradient over the lane axis — vmap/jvp trace fine inside Pallas
-    kernels).
+    ``grad_vec``: batched gradient ``(consts..., (d, TB)) -> (d, TB)``
+    (``jax.closure_convert`` of the ``jax.vmap``-ed user gradient over the
+    lane axis — vmap/jvp trace fine inside Pallas kernels).  Arrays the user
+    potential closed over (data, scale matrices, …) arrive as explicit
+    kernel inputs with static ``const_shapes`` (Pallas kernels cannot
+    capture non-scalar constants); they are small enough for VMEM in any
+    reference workload.
 
     ``kind``:
       * ``"zigzag"`` — per-dimension vectorized rates, gumbel-argmax
@@ -131,12 +136,23 @@ def _make_kernel(grad_vec: Callable, *, n_grid: int, K: int, dim: int,
         Gaussian refresh velocities come from Box-Muller pairs.
     """
     G = n_grid - 1  # segments
+    n_consts = len(const_shapes)
 
-    def kernel(seed_ref, x_ref, v_ref, fs_ref, is_ref, ring_ref,
-               x_out, v_out, fs_out, is_out, ring_out,
-               ev_kind, ev_x, ev_v, ev_fs, ev_ring):
+    def kernel(seed_ref, *refs):
+        const_refs = refs[:n_consts]
+        (x_ref, v_ref, fs_ref, is_ref, ring_ref,
+         x_out, v_out, fs_out, is_out, ring_out,
+         ev_kind, ev_x, ev_v, ev_fs, ev_ring) = refs[n_consts:]
         tile = pl.program_id(0)
         seed_val = seed_ref[0] + tile * 7919
+
+        consts = tuple(
+            r[0, 0] if shape == () else r[:].reshape(shape)
+            for r, shape in zip(const_refs, const_shapes)
+        )
+
+        def grad_fn(xs):
+            return grad_vec(xs, *consts)
 
         x = x_ref[:]
         v = v_ref[:]
@@ -149,7 +165,7 @@ def _make_kernel(grad_vec: Callable, *, n_grid: int, K: int, dim: int,
 
         def signed_rates(xc, vc, t):
             """Per-dim signed rate along the flow: grad_U(x + v t) * v."""
-            return grad_vec(xc + vc * t[None, :]) * vc
+            return grad_fn(xc + vc * t[None, :]) * vc
 
         def body(k, carry):
             x0, v0, fs, iscal, ring0 = carry
@@ -175,7 +191,7 @@ def _make_kernel(grad_vec: Callable, *, n_grid: int, K: int, dim: int,
             else:  # scalar-dot rate (BPS): includes refresh inside, like the
                    # reference's closures (BouncyParticleSamplers.jl:39-47)
                 def f(t):
-                    g = grad_vec(x + v * t[None, :])
+                    g = grad_fn(x + v * t[None, :])
                     s = jnp.sum(g * v, axis=0) + refresh_rate
                     return s if signed else jnp.maximum(s, 0.0)
 
@@ -231,7 +247,7 @@ def _make_kernel(grad_vec: Callable, *, n_grid: int, K: int, dim: int,
                 lam_vec = jnp.maximum(signed_rates(x, v, tp_safe), 0.0)
                 lam_t = jnp.sum(lam_vec, axis=0)
             else:
-                g_tp = grad_vec(x + v * tp_safe[None, :])
+                g_tp = grad_fn(x + v * tp_safe[None, :])
                 lam_t = (
                     jnp.maximum(0.0, jnp.sum(g_tp * v, axis=0)) + refresh_rate
                 )
@@ -262,7 +278,7 @@ def _make_kernel(grad_vec: Callable, *, n_grid: int, K: int, dim: int,
             # ---- velocity jump -------------------------------------------
             if kind == "zigzag":
                 # gumbel-argmax coordinate flip over per-dim rates
-                rates_flip = jnp.maximum(grad_vec(x_new) * v, 0.0)
+                rates_flip = jnp.maximum(grad_fn(x_new) * v, 0.0)
                 u_g = u_row[2:]
                 gumbel = -jnp.log(-jnp.log(u_g))
                 logits = jnp.where(
@@ -279,7 +295,7 @@ def _make_kernel(grad_vec: Callable, *, n_grid: int, K: int, dim: int,
                 v_new = jnp.where(flip, -v, v)
             else:
                 # bounce-or-refresh (BouncyParticleSamplers.jl:50-74)
-                g_j = grad_vec(x_new)
+                g_j = grad_fn(x_new)
                 br = jnp.maximum(0.0, jnp.sum(g_j * v, axis=0))
                 denom_b = br + refresh_rate
                 prob = jnp.where(
@@ -419,11 +435,14 @@ def _make_kernel(grad_vec: Callable, *, n_grid: int, K: int, dim: int,
 )
 def run_chunk(seed, x, v, fs, iscal, ring, *, grad_vec, n_grid, K,
               adaptive, signed, refresh_rate, cap, tile=512, interpret=False,
-              kind="zigzag", gaussian_velocity=False):
+              kind="zigzag", gaussian_velocity=False, grad_consts=()):
     """Run one fused chunk of ``K`` transitions.
 
     Inputs are kernel-layout: ``x``/``v`` ``(d, B)``, ``fs`` ``(NF, B)``,
     ``iscal`` ``(NI, B)``, ``ring`` ``(5, B)``; ``seed`` a scalar int32.
+    ``grad_consts``: arrays hoisted out of the user gradient by
+    ``jax.closure_convert`` (see ``driver.convert_grad``); ``grad_vec`` must
+    accept them as trailing arguments.
     Returns updated state plus the per-transition event stream
     ``(kind_i32 (K, 4, B), x (K, d, B), v (K, d, B), fs (K, 3, B),
     ring (K, 5, B))`` where the kind block rows are
@@ -435,10 +454,20 @@ def run_chunk(seed, x, v, fs, iscal, ring, *, grad_vec, n_grid, K,
         raise ValueError(f"B={B} must be a multiple of tile={tile}")
     n_tiles = B // tile
 
+    grad_consts = tuple(jnp.asarray(c) for c in grad_consts)
+    const_shapes = tuple(c.shape for c in grad_consts)
+    # Mosaic wants >= 2-D operands; flatten each const to one (1, n) row and
+    # restore the original shape inside the kernel.
+    consts2d = tuple(
+        c if c.ndim >= 2 else c.reshape((1, max(1, c.size)))
+        for c in grad_consts
+    )
+
     kernel = _make_kernel(
         grad_vec, n_grid=n_grid, K=K, dim=d, adaptive=adaptive,
         signed=signed, refresh_rate=refresh_rate, cap=cap, dtype=dtype,
         kind=kind, gaussian_velocity=gaussian_velocity,
+        const_shapes=const_shapes,
     )
 
     def col_spec(rows):
@@ -461,10 +490,20 @@ def run_chunk(seed, x, v, fs, iscal, ring, *, grad_vec, n_grid, K,
         jax.ShapeDtypeStruct((K, 3, B), dtype),        # ev t,h,ar
         jax.ShapeDtypeStruct((K, ERROR_RING_SIZE, B), dtype),  # ev ring
     )
+    const_specs = [
+        pl.BlockSpec(
+            c.shape,
+            # every tile sees the whole constant (index_map pins block 0)
+            functools.partial(lambda nd, i: (0,) * nd, c.ndim),
+            memory_space=pltpu.VMEM,
+        )
+        for c in consts2d
+    ]
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
+            *const_specs,
             col_spec(d), col_spec(d), col_spec(NF), col_spec(NI),
             col_spec(ERROR_RING_SIZE),
         ],
@@ -481,4 +520,5 @@ def run_chunk(seed, x, v, fs, iscal, ring, *, grad_vec, n_grid, K,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interp,
-    )(jnp.reshape(jnp.asarray(seed, jnp.int32), (1,)), x, v, fs, iscal, ring)
+    )(jnp.reshape(jnp.asarray(seed, jnp.int32), (1,)), *consts2d,
+      x, v, fs, iscal, ring)

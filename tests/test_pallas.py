@@ -183,3 +183,29 @@ def test_api_backend_pallas():
         seed=1, dtype=jnp.float32, backend="pallas",
     )
     assert (np.asarray(skel.n_valid) == 200).all()
+
+
+def test_pallas_captured_constant_potential():
+    """User potentials close over data arrays (scale vectors, observations);
+    the driver must hoist them into explicit kernel inputs (Pallas kernels
+    cannot capture non-scalar constants — driver.convert_grad)."""
+    scales = jnp.asarray(np.linspace(0.5, 2.0, DIM), jnp.float32)
+
+    def grad_U(x):
+        return x / scales**2
+
+    zz = pf.ZigZag(DIM, grad_U)
+    closed, consts = pdrv.convert_grad(zz, DIM, 128, jnp.float32)
+    assert len(consts) >= 1  # the scale vector was hoisted
+    xs = jnp.ones((DIM, 128), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(closed(xs, *consts)),
+        np.asarray(jax.vmap(grad_U, in_axes=1, out_axes=1)(xs)),
+        rtol=1e-6,
+    )
+
+    res = _run_pallas(zz, n_ev=300)
+    assert (np.asarray(res.skeleton.n_valid) == 300).all()
+    mean, var = pooled_moments(res.skeleton, zz, 256)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(scales) ** 2,
+                               rtol=0.35)
