@@ -550,6 +550,40 @@ def empty_stream(t_cap: int, dim: int, dtype, B: int) -> Skeleton:
     return skel._replace(n_valid=jnp.zeros((B,), jnp.int32))
 
 
+def compact_stream_rows(stream: Skeleton, n_keep: int) -> Skeleton:
+    """Stable-partition each chain's stream so event rows (``kind > 0``)
+    come first in time order, keeping the first ``n_keep``; all on device.
+
+    Rows beyond a chain's event count are arbitrary padding with
+    ``kind <= 0`` (callers track counts separately).  Because the result is
+    itself a valid stream, multi-fill accumulation is just
+    ``compact_stream_rows(concat(acc, fill), n_keep)``.
+    """
+    order = jnp.argsort(stream.kind <= 0, axis=1, stable=True)
+    idx = order[:, :n_keep]
+
+    def take(buf):
+        ix = idx.reshape(idx.shape + (1,) * (buf.ndim - 2))
+        return jnp.take_along_axis(buf, ix.astype(jnp.int32), axis=1)
+
+    fields = {
+        f: take(getattr(stream, f)) for f in Skeleton._fields if f != "n_valid"
+    }
+    return Skeleton(**fields, n_valid=stream.n_valid)
+
+
+def concat_streams(a: Skeleton, b: Skeleton) -> Skeleton:
+    """Concatenate two streams along the row axis (device-side)."""
+    fields = {
+        f: jnp.concatenate(
+            [getattr(a, f), getattr(b, f).astype(getattr(a, f).dtype)], axis=1
+        )
+        for f in Skeleton._fields
+        if f != "n_valid"
+    }
+    return Skeleton(**fields, n_valid=a.n_valid)
+
+
 def compact_stream_device(stream: Skeleton, init_ev: Event, counts,
                           n_keep: int) -> Skeleton:
     """Device-side event compaction: stable-partition each chain's stream so
@@ -557,31 +591,34 @@ def compact_stream_device(stream: Skeleton, init_ev: Event, counts,
     ``n_keep``, and prepend the initial-state record.
 
     Returns a dense ``(B, n_keep + 1, ...)`` Skeleton that never leaves the
-    device — the fast path replacing ``compact_stream_host`` when every chain
-    completed in one stream fill (avoids pulling the full raw stream through
-    the host tunnel and the per-chain Python assembly, which dominate
-    wall-clock at large B).
+    device — the fast path replacing ``compact_stream_host`` (which pulls
+    the full raw stream through the host tunnel and assembles per chain in
+    Python, dominating wall-clock at large B).
     """
-    order = jnp.argsort(stream.kind <= 0, axis=1, stable=True)
-    idx = order[:, :n_keep]
+    rows = compact_stream_rows(stream, n_keep)
+    return prepend_init_rows(rows, init_ev, counts, n_keep)
 
-    def take(buf, init):
-        ix = idx.reshape(idx.shape + (1,) * (buf.ndim - 2))
-        rows = jnp.take_along_axis(buf, ix.astype(jnp.int32), axis=1)
-        return jnp.concatenate([init[:, None].astype(buf.dtype), rows], axis=1)
+
+def prepend_init_rows(rows: Skeleton, init_ev: Event, counts,
+                      n_keep: int) -> Skeleton:
+    """Prepend the batched initial-state record to compacted event rows and
+    set per-chain validity (initial record + events)."""
+
+    def pre(buf, init):
+        return jnp.concatenate([init[:, None].astype(buf.dtype), buf], axis=1)
 
     return Skeleton(
-        x=take(stream.x, init_ev.x),
-        v=take(stream.v, init_ev.v),
-        t=take(stream.t, init_ev.t),
-        horizon=take(stream.horizon, init_ev.horizon),
-        ar=take(stream.ar, init_ev.ar),
-        is_active=take(stream.is_active, init_ev.is_active),
-        rejected=take(stream.rejected, init_ev.rejected),
-        errored_bound=take(stream.errored_bound, init_ev.errored_bound),
-        hitting_horizon=take(stream.hitting_horizon, init_ev.hitting_horizon),
-        error_value_ar=take(stream.error_value_ar, init_ev.error_value_ar),
-        kind=take(stream.kind, init_ev.kind),
+        x=pre(rows.x, init_ev.x),
+        v=pre(rows.v, init_ev.v),
+        t=pre(rows.t, init_ev.t),
+        horizon=pre(rows.horizon, init_ev.horizon),
+        ar=pre(rows.ar, init_ev.ar),
+        is_active=pre(rows.is_active, init_ev.is_active),
+        rejected=pre(rows.rejected, init_ev.rejected),
+        errored_bound=pre(rows.errored_bound, init_ev.errored_bound),
+        hitting_horizon=pre(rows.hitting_horizon, init_ev.hitting_horizon),
+        error_value_ar=pre(rows.error_value_ar, init_ev.error_value_ar),
+        kind=pre(rows.kind, init_ev.kind),
         n_valid=1 + jnp.minimum(counts, n_keep).astype(jnp.int32),
     )
 

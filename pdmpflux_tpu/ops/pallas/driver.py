@@ -19,58 +19,113 @@ from . import zigzag_chunk as zc
 def kernel_kind(sampler):
     """Which fused-kernel variant covers this sampler, or None.
 
+    The kernel is parameterized over (flow, gradient-like map, rate mode,
+    jump mode), which covers:
+
     * ``"zigzag"``: plain ZigZag with vectorized grid bound (non-sticky);
-    * ``"bps"``: BPS with its scalar grid bound (grid_size >= 2).
+    * ``"suzz"``: Speed-Up ZigZag (nonlinear flow + effective gradient);
+    * ``"bps"``: BPS with its scalar grid bound (grid_size >= 2);
+    * ``"boomerang"``: Boomerang (elliptic flow + effective gradient,
+      bounce-or-Gaussian-refresh — same jump machinery as BPS with
+      un-normalized refresh velocities).
     """
+    from ...models.boomerang import Boomerang
     from ...models.bps import BPS
+    from ...models.speedup_zigzag import SpeedUpZigZag
     from ...models.zigzag import ZigZag
 
-    if (
-        type(sampler) is ZigZag
-        and sampler.vectorized_bound
-        and sampler.grid_size >= 2
-        and not sampler.sticky
-    ):
+    if sampler.grid_size < 2 or getattr(sampler, "sticky", False):
+        return None
+    if type(sampler) is ZigZag and sampler.vectorized_bound:
         return "zigzag"
-    if type(sampler) is BPS and sampler.grid_size >= 2:
+    if type(sampler) is SpeedUpZigZag and sampler.vectorized_bound:
+        return "suzz"
+    if type(sampler) is BPS:
         return "bps"
+    if type(sampler) is Boomerang:
+        return "boomerang"
     return None
+
+
+def _kernel_gaussian_velocity(sampler, kind):
+    """Boomerang refreshes draw *un-normalized* N(0, I) velocities
+    (BoomerangSamplers.jl:65); BPS normalizes unless ``gaussian_velocity``."""
+    if kind == "boomerang":
+        return True
+    return bool(getattr(sampler, "gaussian_velocity", False))
 
 
 def supports_pallas(sampler) -> bool:
     return kernel_kind(sampler) is not None
 
 
-def convert_grad(sampler, dim: int, tile: int, dtype):
-    """Closure-convert the lane-batched gradient for Pallas.
+def _hoist_consts(fn, *example_avals):
+    """Trace ``fn`` to a jaxpr, hoist every non-scalar const out, and return
+    ``(closed, consts)`` with ``closed(*args, *consts) -> outputs`` (a tuple
+    when ``fn`` returns multiple values).
 
     Pallas kernels cannot capture non-scalar constants, but real potentials
-    close over data (observations, scale vectors, ...).  This traces the
-    gradient to a jaxpr, hoists every non-scalar const out, and returns
-    ``(closed, consts)`` with ``closed((d, TB) x, *consts) -> (d, TB)``; the
-    driver feeds ``consts`` to ``run_chunk`` as explicit kernel inputs.
-    (``jax.closure_convert`` is not usable here: it hoists only consts that
-    are outer-scope *tracers*, leaving concrete arrays embedded.)
+    close over data (observations, scale vectors, ...); this makes them
+    explicit kernel inputs.  (``jax.closure_convert`` is not usable here: it
+    hoists only consts that are outer-scope *tracers*, leaving concrete
+    arrays embedded.)
     """
+    import numpy as np
+
+    cj = jax.make_jaxpr(fn)(*example_avals)
+    consts = list(cj.consts)
+    hoist_idx = [i for i, c in enumerate(consts) if np.ndim(c) > 0]
+    hoisted = tuple(jnp.asarray(consts[i]) for i in hoist_idx)
+    n_args = len(jax.tree.leaves(example_avals))
+    multi = len(cj.jaxpr.outvars) > 1
+
+    def closed(*args_and_consts):
+        args = args_and_consts[:n_args]
+        hs = args_and_consts[n_args:]
+        cs = list(consts)
+        for i, h in zip(hoist_idx, hs):
+            cs[i] = h
+        out = jax.core.eval_jaxpr(cj.jaxpr, cs, *args)
+        return tuple(out) if multi else out[0]
+
+    return closed, hoisted
+
+
+def _grad_like(sampler, kind):
+    """The gradient map the kernel's rates/jumps use: the raw potential
+    gradient for ZigZag/BPS, the *effective* gradient for Boomerang and
+    Speed-Up ZigZag (their rates and jumps act on it)."""
+    if kind in ("suzz", "boomerang"):
+        return sampler._grad_eff
+    return sampler.grad_U
+
+
+def convert_grad(sampler, dim: int, tile: int, dtype, kind: str = "zigzag"):
+    """Hoisted lane-batched gradient-like map for the kernel:
+    ``closed((d, TB), *consts) -> (d, TB)``."""
     def build():
-        import numpy as np
+        gv = jax.vmap(_grad_like(sampler, kind), in_axes=1, out_axes=1)
+        return _hoist_consts(gv, jax.ShapeDtypeStruct((dim, tile), dtype))
 
-        gv = jax.vmap(sampler.grad_U, in_axes=1, out_axes=1)
-        cj = jax.make_jaxpr(gv)(jax.ShapeDtypeStruct((dim, tile), dtype))
-        consts = list(cj.consts)
-        hoist_idx = [i for i, c in enumerate(consts) if np.ndim(c) > 0]
-        hoisted = tuple(jnp.asarray(consts[i]) for i in hoist_idx)
+    return sampler._cached(
+        ("pallas_grad", kind, dim, tile, jnp.dtype(dtype).name), build
+    )
 
-        def closed(xs, *hs):
-            cs = list(consts)
-            for i, h in zip(hoist_idx, hs):
-                cs[i] = h
-            (out,) = jax.core.eval_jaxpr(cj.jaxpr, cs, xs)
-            return out
 
-        return closed, hoisted
+def convert_flow(sampler, dim: int, tile: int, dtype):
+    """Hoisted lane-batched flow for the kernel:
+    ``closed((d, TB) x, (d, TB) v, (TB,) t, *consts) -> ((d, TB), (d, TB))``."""
+    def build():
+        fv = jax.vmap(sampler.flow, in_axes=(1, 1, 0), out_axes=(1, 1))
+        sds = jax.ShapeDtypeStruct
+        return _hoist_consts(
+            fv, sds((dim, tile), dtype), sds((dim, tile), dtype),
+            sds((tile,), dtype),
+        )
 
-    return sampler._cached(("pallas_grad", dim, tile, jnp.dtype(dtype).name), build)
+    return sampler._cached(
+        ("pallas_flow", dim, tile, jnp.dtype(dtype).name), build
+    )
 
 
 def make_pallas_stream_runner(sampler, t_cap: int, n_events_target: int,
@@ -87,7 +142,7 @@ def make_pallas_stream_runner(sampler, t_cap: int, n_events_target: int,
     if kind is None:
         raise ValueError(f"no fused kernel covers sampler {type(sampler).__name__}")
     refresh = float(sampler.refresh_rate)
-    gaussian_velocity = bool(getattr(sampler, "gaussian_velocity", False))
+    gaussian_velocity = _kernel_gaussian_velocity(sampler, kind)
     if t_cap % chunk:
         raise ValueError(f"t_cap={t_cap} must be a multiple of chunk={chunk}")
     n_chunks = t_cap // chunk
@@ -95,7 +150,8 @@ def make_pallas_stream_runner(sampler, t_cap: int, n_events_target: int,
     def run(state: PDMPState, stream: Skeleton, counts) -> engine.StreamResult:
         B, d = state.x.shape
         dtype = state.x.dtype
-        grad_closed, grad_consts = convert_grad(sampler, d, tile, dtype)
+        grad_closed, grad_consts = convert_grad(sampler, d, tile, dtype, kind)
+        flow_closed, flow_consts = convert_flow(sampler, d, tile, dtype)
         x = state.x.T
         v = state.v.T
         fs = jnp.stack(
@@ -120,7 +176,8 @@ def make_pallas_stream_runner(sampler, t_cap: int, n_events_target: int,
             it, x, v, fs, iscal, ring, stream = c
             outs = zc.run_chunk(
                 seed0 + it * 1000003, x, v, fs, iscal, ring,
-                grad_vec=grad_closed, grad_consts=grad_consts, n_grid=n_grid, K=chunk,
+                grad_vec=grad_closed, grad_consts=grad_consts,
+                flow_vec=flow_closed, flow_consts=flow_consts, n_grid=n_grid, K=chunk,
                 adaptive=adaptive, signed=signed, refresh_rate=refresh,
                 cap=n_events_target, tile=tile, interpret=interpret,
                 kind=kind, gaussian_velocity=gaussian_velocity,
@@ -183,13 +240,14 @@ def make_pallas_fixed_runner(sampler, n_events: int, max_transitions: int,
     if kind is None:
         raise ValueError(f"no fused kernel covers sampler {type(sampler).__name__}")
     refresh = float(sampler.refresh_rate)
-    gaussian_velocity = bool(getattr(sampler, "gaussian_velocity", False))
+    gaussian_velocity = _kernel_gaussian_velocity(sampler, kind)
     n_chunks = max(1, -(-max_transitions // chunk))
 
     def run(state: PDMPState, skel: Skeleton) -> engine.RunResult:
         B, d = state.x.shape
         dtype = state.x.dtype
-        grad_closed, grad_consts = convert_grad(sampler, d, tile, dtype)
+        grad_closed, grad_consts = convert_grad(sampler, d, tile, dtype, kind)
+        flow_closed, flow_consts = convert_flow(sampler, d, tile, dtype)
         x = state.x.T
         v = state.v.T
         fs = jnp.stack(
@@ -214,7 +272,8 @@ def make_pallas_fixed_runner(sampler, n_events: int, max_transitions: int,
             it, x, v, fs, iscal, ring, skel = c
             outs = zc.run_chunk(
                 seed0 + it * 1000003, x, v, fs, iscal, ring,
-                grad_vec=grad_closed, grad_consts=grad_consts, n_grid=n_grid, K=chunk,
+                grad_vec=grad_closed, grad_consts=grad_consts,
+                flow_vec=flow_closed, flow_consts=flow_consts, n_grid=n_grid, K=chunk,
                 adaptive=adaptive, signed=signed, refresh_rate=refresh,
                 cap=n_events, tile=tile, interpret=interpret,
                 kind=kind, gaussian_velocity=gaussian_velocity,

@@ -14,10 +14,14 @@ Per-lane gathers (envelope inversion, ring-buffer updates) are unrolled into
 ``G+1``-way selects, which is branch-free and cheap for the small grids the
 thinning scheme uses (default ``grid_size = 10``).
 
-Scope (``kind`` parameter): ``"zigzag"`` — plain ZigZag with the vectorized
-signed/unsigned grid bound (the reference default config) — and ``"bps"`` —
-the Bouncy Particle Sampler's scalar-dot rate with bounce-or-refresh jumps.
-Other samplers use the XLA engine path.
+Scope (``kind`` parameter): the kernel is parameterized over the sampler's
+deterministic flow and a gradient-like map, which covers four families:
+``"zigzag"`` (linear flow, per-dimension vectorized rates, coordinate flip),
+``"suzz"`` (Speed-Up Zig-Zag: nonlinear speed-change flow + effective
+gradient, same vectorized machinery), ``"bps"`` (linear flow, scalar-dot
+rate, bounce-or-refresh), and ``"boomerang"`` (elliptic flow + effective
+gradient, bounce-or-Gaussian-refresh).  Sticky/ECMC/RHMC use the XLA engine
+path.
 
 RNG: a pure-jnp Threefry2x32 keyed on (seed, tile, chunk, transition,
 position) counters — identical streams compiled and interpreted (the native
@@ -113,46 +117,62 @@ def _uniform(seed, salt, shape, dtype):
     return u + (0.5 / (1 << 24))
 
 
-def _make_kernel(grad_vec: Callable, *, n_grid: int, K: int, dim: int,
+def _make_kernel(grad_vec: Callable, flow_vec: Callable, *, n_grid: int,
+                 K: int, dim: int,
                  adaptive: bool, signed: bool, refresh_rate: float,
                  cap: int, dtype, kind: str = "zigzag",
                  gaussian_velocity: bool = False,
-                 const_shapes: tuple = ()):
+                 grad_const_shapes: tuple = (),
+                 flow_const_shapes: tuple = ()):
     """Build the kernel body.
 
-    ``grad_vec``: batched gradient ``(consts..., (d, TB)) -> (d, TB)``
-    (``jax.closure_convert`` of the ``jax.vmap``-ed user gradient over the
-    lane axis — vmap/jvp trace fine inside Pallas kernels).  Arrays the user
-    potential closed over (data, scale matrices, …) arrive as explicit
-    kernel inputs with static ``const_shapes`` (Pallas kernels cannot
+    ``grad_vec``: lane-batched gradient-like map ``((d, TB), consts...) ->
+    (d, TB)`` — the user gradient for ZigZag/BPS, the *effective* gradient
+    for Boomerang / Speed-Up ZigZag.  ``flow_vec``: lane-batched flow
+    ``((d, TB), (d, TB), (TB,), consts...) -> ((d, TB), (d, TB))``.  Both
+    are produced by ``driver._hoist_consts`` (jaxpr const hoisting): arrays
+    the user potential closed over (data, scale matrices, …) arrive as
+    explicit kernel inputs with static shapes (Pallas kernels cannot
     capture non-scalar constants); they are small enough for VMEM in any
     reference workload.
 
     ``kind``:
-      * ``"zigzag"`` — per-dimension vectorized rates, gumbel-argmax
-        coordinate flip (ZigZag family, reference default config);
-      * ``"bps"``    — scalar-dot rate ``<grad_U, v> (+ refresh)`` with the
-        bounce-or-refresh velocity kernel (BouncyParticleSamplers.jl:39-74);
-        Gaussian refresh velocities come from Box-Muller pairs.
+      * ``"zigzag"``/``"suzz"`` — per-dimension vectorized rates
+        ``grad_like(x_t) * v_t``, gumbel-argmax coordinate flip;
+      * ``"bps"``/``"boomerang"`` — scalar-dot rate
+        ``<grad_like(x_t), v_t> (+ refresh)`` with the bounce-or-refresh
+        velocity kernel (BouncyParticleSamplers.jl:39-74 /
+        BoomerangSamplers.jl:51-65); refresh velocities come from
+        Box-Muller pairs, normalized unless ``gaussian_velocity``.
     """
     G = n_grid - 1  # segments
-    n_consts = len(const_shapes)
+    vect = kind in ("zigzag", "suzz")
+    n_gc = len(grad_const_shapes)
+    n_fc = len(flow_const_shapes)
 
     def kernel(seed_ref, *refs):
-        const_refs = refs[:n_consts]
+        gc_refs = refs[:n_gc]
+        fc_refs = refs[n_gc:n_gc + n_fc]
         (x_ref, v_ref, fs_ref, is_ref, ring_ref,
          x_out, v_out, fs_out, is_out, ring_out,
-         ev_kind, ev_x, ev_v, ev_fs, ev_ring) = refs[n_consts:]
+         ev_kind, ev_x, ev_v, ev_fs, ev_ring) = refs[n_gc + n_fc:]
         tile = pl.program_id(0)
         seed_val = seed_ref[0] + tile * 7919
 
-        consts = tuple(
-            r[0, 0] if shape == () else r[:].reshape(shape)
-            for r, shape in zip(const_refs, const_shapes)
-        )
+        def unpack(refs_, shapes):
+            return tuple(
+                r[0, 0] if shape == () else r[:].reshape(shape)
+                for r, shape in zip(refs_, shapes)
+            )
+
+        gconsts = unpack(gc_refs, grad_const_shapes)
+        fconsts = unpack(fc_refs, flow_const_shapes)
 
         def grad_fn(xs):
-            return grad_vec(xs, *consts)
+            return grad_vec(xs, *gconsts)
+
+        def flow_fn(xc, vc, t):
+            return flow_vec(xc, vc, t, *fconsts)
 
         x = x_ref[:]
         v = v_ref[:]
@@ -164,8 +184,9 @@ def _make_kernel(grad_vec: Callable, *, n_grid: int, K: int, dim: int,
 
 
         def signed_rates(xc, vc, t):
-            """Per-dim signed rate along the flow: grad_U(x + v t) * v."""
-            return grad_fn(xc + vc * t[None, :]) * vc
+            """Per-dim signed rate along the flow: grad_like(x_t) * v_t."""
+            xt, vt = flow_fn(xc, vc, t)
+            return grad_fn(xt) * vt
 
         def body(k, carry):
             x0, v0, fs, iscal, ring0 = carry
@@ -184,15 +205,16 @@ def _make_kernel(grad_vec: Callable, *, n_grid: int, K: int, dim: int,
             )
             tis = bh_s[None, :] * fracs  # (n_grid, TB)
 
-            if kind == "zigzag":
+            if vect:
                 def f(t):
                     r = signed_rates(x, v, t)
                     return r if signed else jnp.maximum(r, 0.0)
-            else:  # scalar-dot rate (BPS): includes refresh inside, like the
-                   # reference's closures (BouncyParticleSamplers.jl:39-47)
+            else:  # scalar-dot rate (BPS/Boomerang): includes refresh
+                   # inside, like the reference's closures
+                   # (BouncyParticleSamplers.jl:39-47)
                 def f(t):
-                    g = grad_fn(x + v * t[None, :])
-                    s = jnp.sum(g * v, axis=0) + refresh_rate
+                    xt, vt = flow_fn(x, v, t)
+                    s = jnp.sum(grad_fn(xt) * vt, axis=0) + refresh_rate
                     return s if signed else jnp.maximum(s, 0.0)
 
             vals, ders = jax.vmap(
@@ -214,7 +236,7 @@ def _make_kernel(grad_vec: Callable, *, n_grid: int, K: int, dim: int,
             # the scalar grid path adds refresh on top (AbstractPDMP.jl:129,
             # conservatively double-counting with the closure's own refresh,
             # exactly like the reference — envelope slack is law-exact).
-            if kind == "zigzag":
+            if vect:
                 box = jnp.sum(box_nd, axis=1) + refresh_rate  # (G, TB)
             else:
                 box = box_nd + (refresh_rate if signed else 0.0)  # (G, TB)
@@ -243,13 +265,14 @@ def _make_kernel(grad_vec: Callable, *, n_grid: int, K: int, dim: int,
             tp_safe = jnp.where(overflow, 0.0, tp)
 
             # ---- thinning evaluation at tp (unsigned true rate) ----------
-            if kind == "zigzag":
+            if vect:
                 lam_vec = jnp.maximum(signed_rates(x, v, tp_safe), 0.0)
                 lam_t = jnp.sum(lam_vec, axis=0)
             else:
-                g_tp = grad_fn(x + v * tp_safe[None, :])
+                xt_p, vt_p = flow_fn(x, v, tp_safe)
                 lam_t = (
-                    jnp.maximum(0.0, jnp.sum(g_tp * v, axis=0)) + refresh_rate
+                    jnp.maximum(0.0, jnp.sum(grad_fn(xt_p) * vt_p, axis=0))
+                    + refresh_rate
                 )
             ar_new = lam_t / lam_bar
 
@@ -264,7 +287,7 @@ def _make_kernel(grad_vec: Callable, *, n_grid: int, K: int, dim: int,
             # stateful TPU PRNG is unreliable inside lax loops).  Rows:
             # zigzag: [exp, accept, d gumbels];
             # bps:    [exp, accept, bounce, 2d Box-Muller uniforms].
-            n_u = (dim + 2) if kind == "zigzag" else (3 + 2 * dim)
+            n_u = (dim + 2) if vect else (3 + 2 * dim)
             u_row = _uniform(seed_val, k, (n_u, TB), dtype)
             u_acc = u_row[1]
             acc = u_acc < ar_new
@@ -272,13 +295,15 @@ def _make_kernel(grad_vec: Callable, *, n_grid: int, K: int, dim: int,
             p_rej = p_proxy & ~acc
 
             # ---- flow at the selected time -------------------------------
+            # flow_t == 0 is the identity for every flow (linear, elliptic,
+            # speed-change), so unmoved lanes keep (x, v) exactly.
             flow_t = jnp.where(p_moveh, h_s, jnp.where(p_acc, tp_safe, 0.0))
-            x_new = x + v * flow_t[None, :]
+            x_new, v_flow = flow_fn(x, v, flow_t)
 
             # ---- velocity jump -------------------------------------------
-            if kind == "zigzag":
+            if vect:
                 # gumbel-argmax coordinate flip over per-dim rates
-                rates_flip = jnp.maximum(grad_fn(x_new) * v, 0.0)
+                rates_flip = jnp.maximum(grad_fn(x_new) * v_flow, 0.0)
                 u_g = u_row[2:]
                 gumbel = -jnp.log(-jnp.log(u_g))
                 logits = jnp.where(
@@ -292,19 +317,24 @@ def _make_kernel(grad_vec: Callable, *, n_grid: int, K: int, dim: int,
                     == m[None, :]
                 )
                 flip = onehot & p_acc[None, :]
-                v_new = jnp.where(flip, -v, v)
+                v_new = jnp.where(flip, -v_flow, v_flow)
             else:
-                # bounce-or-refresh (BouncyParticleSamplers.jl:50-74)
+                # bounce-or-refresh (BouncyParticleSamplers.jl:50-74;
+                # Boomerang bounces on the effective gradient,
+                # BoomerangSamplers.jl:51-63)
                 g_j = grad_fn(x_new)
-                br = jnp.maximum(0.0, jnp.sum(g_j * v, axis=0))
+                br = jnp.maximum(0.0, jnp.sum(g_j * v_flow, axis=0))
                 denom_b = br + refresh_rate
                 prob = jnp.where(
                     denom_b > 0, br / jnp.where(denom_b > 0, denom_b, 1.0), 0.0
                 )
                 gg = jnp.sum(g_j * g_j, axis=0)
-                scale = 2.0 * jnp.sum(v * g_j, axis=0) / jnp.where(gg > 0, gg, 1.0)
+                scale = (
+                    2.0 * jnp.sum(v_flow * g_j, axis=0)
+                    / jnp.where(gg > 0, gg, 1.0)
+                )
                 v_reflect = jnp.where(
-                    (gg > 0)[None, :], v - scale[None, :] * g_j, v
+                    (gg > 0)[None, :], v_flow - scale[None, :] * g_j, v_flow
                 )
                 # Box-Muller normals for the refresh draw
                 u1 = u_row[3 : 3 + dim]
@@ -317,7 +347,7 @@ def _make_kernel(grad_vec: Callable, *, n_grid: int, K: int, dim: int,
                     z = z / jnp.where(nrm > 0, nrm, 1.0)[None, :]
                 bounce = (u_row[2] < prob)[None, :]
                 v_jumped = jnp.where(bounce, v_reflect, z)
-                v_new = jnp.where(p_acc[None, :], v_jumped, v)
+                v_new = jnp.where(p_acc[None, :], v_jumped, v_flow)
 
             # ---- time commitment (Kahan) ---------------------------------
             inc = tp_safe + ts_s
@@ -427,22 +457,35 @@ def _make_kernel(grad_vec: Callable, *, n_grid: int, K: int, dim: int,
     return kernel
 
 
+def _normalize_consts(consts):
+    """Normalize hoisted consts for Pallas: Mosaic wants >= 2-D operands, so
+    flatten each to one (1, n) row; original shapes are restored inside the
+    kernel."""
+    consts = tuple(jnp.asarray(c) for c in consts)
+    shapes = tuple(c.shape for c in consts)
+    flat = tuple(
+        c if c.ndim >= 2 else c.reshape((1, max(1, c.size))) for c in consts
+    )
+    return flat, shapes
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("grad_vec", "n_grid", "K", "adaptive", "signed",
-                     "refresh_rate", "cap", "tile", "interpret", "kind",
-                     "gaussian_velocity"),
+    static_argnames=("grad_vec", "flow_vec", "n_grid", "K", "adaptive",
+                     "signed", "refresh_rate", "cap", "tile", "interpret",
+                     "kind", "gaussian_velocity"),
 )
-def run_chunk(seed, x, v, fs, iscal, ring, *, grad_vec, n_grid, K,
+def run_chunk(seed, x, v, fs, iscal, ring, *, grad_vec, flow_vec, n_grid, K,
               adaptive, signed, refresh_rate, cap, tile=512, interpret=False,
-              kind="zigzag", gaussian_velocity=False, grad_consts=()):
+              kind="zigzag", gaussian_velocity=False, grad_consts=(),
+              flow_consts=()):
     """Run one fused chunk of ``K`` transitions.
 
     Inputs are kernel-layout: ``x``/``v`` ``(d, B)``, ``fs`` ``(NF, B)``,
     ``iscal`` ``(NI, B)``, ``ring`` ``(5, B)``; ``seed`` a scalar int32.
-    ``grad_consts``: arrays hoisted out of the user gradient by
-    ``jax.closure_convert`` (see ``driver.convert_grad``); ``grad_vec`` must
-    accept them as trailing arguments.
+    ``grad_consts``/``flow_consts``: arrays hoisted out of the user gradient
+    / flow by ``driver._hoist_consts``; ``grad_vec``/``flow_vec`` must accept
+    them as trailing arguments.
     Returns updated state plus the per-transition event stream
     ``(kind_i32 (K, 4, B), x (K, d, B), v (K, d, B), fs (K, 3, B),
     ring (K, 5, B))`` where the kind block rows are
@@ -454,20 +497,15 @@ def run_chunk(seed, x, v, fs, iscal, ring, *, grad_vec, n_grid, K,
         raise ValueError(f"B={B} must be a multiple of tile={tile}")
     n_tiles = B // tile
 
-    grad_consts = tuple(jnp.asarray(c) for c in grad_consts)
-    const_shapes = tuple(c.shape for c in grad_consts)
-    # Mosaic wants >= 2-D operands; flatten each const to one (1, n) row and
-    # restore the original shape inside the kernel.
-    consts2d = tuple(
-        c if c.ndim >= 2 else c.reshape((1, max(1, c.size)))
-        for c in grad_consts
-    )
+    gconsts2d, grad_shapes = _normalize_consts(grad_consts)
+    fconsts2d, flow_shapes = _normalize_consts(flow_consts)
+    consts2d = gconsts2d + fconsts2d
 
     kernel = _make_kernel(
-        grad_vec, n_grid=n_grid, K=K, dim=d, adaptive=adaptive,
+        grad_vec, flow_vec, n_grid=n_grid, K=K, dim=d, adaptive=adaptive,
         signed=signed, refresh_rate=refresh_rate, cap=cap, dtype=dtype,
         kind=kind, gaussian_velocity=gaussian_velocity,
-        const_shapes=const_shapes,
+        grad_const_shapes=grad_shapes, flow_const_shapes=flow_shapes,
     )
 
     def col_spec(rows):

@@ -127,12 +127,15 @@ def test_pallas_banana_runs():
 def test_supports_pallas_gating():
     assert pdrv.kernel_kind(pf.ZigZag(4, lambda x: x)) == "zigzag"
     assert pdrv.kernel_kind(pf.BPS(4, lambda x: x)) == "bps"
-    assert not pdrv.supports_pallas(pf.Boomerang(4, lambda x: x))
+    assert pdrv.kernel_kind(pf.Boomerang(4, lambda x: x)) == "boomerang"
+    assert pdrv.kernel_kind(pf.SpeedUpZigZag(4, lambda x: x)) == "suzz"
     assert not pdrv.supports_pallas(pf.StickyZigZag(4, lambda x: x))
     assert not pdrv.supports_pallas(pf.ZigZag(4, lambda x: x, grid_size=0))
+    assert not pdrv.supports_pallas(pf.RHMC(4, lambda x: x))
+    assert not pdrv.supports_pallas(pf.ForwardECMC(4, lambda x: x))
     with pytest.raises(ValueError):
         pf.sample_skeleton(
-            pf.Boomerang(4, lambda x: x), 10, np.zeros(4), np.ones(4),
+            pf.RHMC(4, lambda x: x), 10, np.zeros(4), np.ones(4),
             backend="pallas",
         )
 
@@ -209,3 +212,59 @@ def test_pallas_captured_constant_potential():
     mean, var = pooled_moments(res.skeleton, zz, 256)
     np.testing.assert_allclose(np.asarray(var), np.asarray(scales) ** 2,
                                rtol=0.35)
+
+
+@pytest.mark.parametrize("make", [
+    lambda: pf.Boomerang(DIM, lambda x: x, refresh_rate=0.5),
+    lambda: pf.SpeedUpZigZag(DIM, lambda x: x),
+], ids=["boomerang", "suzz"])
+def test_pallas_curved_flow_kinds_match_xla(make):
+    """Boomerang (elliptic flow) and Speed-Up ZigZag (nonlinear flow) kernel
+    variants: posterior moments on N(0, I) and acceptance statistics agree
+    with the XLA engine in law."""
+    from pdmpflux_tpu.parallel.sharded import pooled_moments
+
+    sampler = make()
+    # Boomerang needs ~6.5 transitions/event at tmax=1 (4.5 horizon hits per
+    # event on the elliptic flow), so budget generously.
+    t_cap, target = 2048, 220
+    rng = np.random.default_rng(0)
+
+    # ZigZag-family flows assume unit-speed velocities (the Speed-Up ZigZag
+    # closed-form flow is derived for v in {-1, +1}^d); Boomerang's invariant
+    # velocity marginal is N(0, I).
+    if isinstance(sampler, pf.SpeedUpZigZag):
+        v0 = np.sign(rng.normal(size=(B, DIM))) + 0.0
+    else:
+        v0 = rng.normal(size=(B, DIM))
+
+    def prep(seed):
+        st = sampler.init_state_batch(
+            np.zeros((B, DIM)), v0, seed, dtype=jnp.float32,
+        )
+        stream = engine.empty_stream(t_cap, DIM, jnp.float32, B)
+        return st, stream, jnp.zeros((B,), jnp.int32)
+
+    run_p = jax.jit(pdrv.make_pallas_stream_runner(
+        sampler, t_cap, target, chunk=16, tile=128, interpret=True
+    ))
+    res_p = run_p(*prep(0))
+    assert (np.asarray(res_p.counts) == target).all()
+    mean_p, var_p = pooled_moments(res_p.stream, sampler, 300)
+    assert np.all(np.abs(np.asarray(mean_p)) < 0.25)
+    assert np.all(np.abs(np.asarray(var_p) - 1.0) < 0.35)
+
+    run_x = jax.jit(engine.make_stream_runner(sampler, t_cap, chunk=32),
+                    static_argnums=(3,))
+    res_x = run_x(*prep(1), target)
+    mean_x, var_x = pooled_moments(res_x.stream, sampler, 300)
+    assert np.all(np.abs(np.asarray(mean_p) - np.asarray(mean_x)) < 0.3)
+    assert np.all(np.abs(np.asarray(var_p) - np.asarray(var_x)) < 0.4)
+
+    def acc_ar(res):
+        nv = int(np.asarray(res.stream.n_valid)[0])
+        k = np.asarray(res.stream.kind)[:, :nv]
+        ar = np.asarray(res.stream.ar)[:, :nv]
+        return float(np.clip(ar[k == pf.EV_JUMP], 0, 1).mean())
+
+    assert abs(acc_ar(res_p) - acc_ar(res_x)) < 0.06
