@@ -16,6 +16,19 @@ from ...core.types import Event, PDMPState, Skeleton
 from . import zigzag_chunk as zc
 
 
+PALLAS_CONST_GRID = 9
+"""Grid points the fused kernel substitutes for a ``grid_size == 0`` request.
+
+The reference's constant bound (Brent maximization, ``UpperBound.jl:18-36``)
+has no fused-kernel analogue; the kernel instead builds its usual
+tangent-intersection grid envelope with this many points — a *tighter* valid
+thinning envelope than any constant, so the sampled law is identical (bound
+slack and tightness only shift acceptance statistics, never the law; the
+``ar > 1`` recovery path repairs any violation either way).  The XLA engine
+path keeps exact constant-bound parity with the reference.
+"""
+
+
 def kernel_kind(sampler):
     """Which fused-kernel variant covers this sampler, or None.
 
@@ -24,17 +37,20 @@ def kernel_kind(sampler):
 
     * ``"zigzag"``: plain ZigZag with vectorized grid bound (non-sticky);
     * ``"suzz"``: Speed-Up ZigZag (nonlinear flow + effective gradient);
-    * ``"bps"``: BPS with its scalar grid bound (grid_size >= 2);
+    * ``"bps"``: BPS with its scalar grid bound;
     * ``"boomerang"``: Boomerang (elliptic flow + effective gradient,
       bounce-or-Gaussian-refresh — same jump machinery as BPS with
       un-normalized refresh velocities).
+
+    ``grid_size == 0`` (constant-bound) samplers map onto the same kernel
+    with a ``PALLAS_CONST_GRID``-point grid envelope (see its docstring).
     """
     from ...models.boomerang import Boomerang
     from ...models.bps import BPS
     from ...models.speedup_zigzag import SpeedUpZigZag
     from ...models.zigzag import ZigZag
 
-    if sampler.grid_size < 2 or getattr(sampler, "sticky", False):
+    if getattr(sampler, "sticky", False):
         return None
     if type(sampler) is ZigZag and sampler.vectorized_bound:
         return "zigzag"
@@ -135,7 +151,7 @@ def make_pallas_stream_runner(sampler, t_cap: int, n_events_target: int,
     one Pallas launch whose per-transition event stream writes densely into
     the ``(B, t_cap, ...)`` buffers via contiguous ``dynamic_update_slice``
     (no scatter anywhere — see the rationale in ``core/engine.py``)."""
-    n_grid = sampler.grid_size
+    n_grid = sampler.grid_size if sampler.grid_size >= 2 else PALLAS_CONST_GRID
     signed = bool(sampler.signed_bound)
     adaptive = bool(sampler.adaptive)
     kind = kernel_kind(sampler)
@@ -233,7 +249,7 @@ def make_pallas_stream_runner(sampler, t_cap: int, n_events_target: int,
 def make_pallas_fixed_runner(sampler, n_events: int, max_transitions: int,
                              chunk: int = 32, tile: int = 512,
                              interpret: bool = False):
-    n_grid = sampler.grid_size
+    n_grid = sampler.grid_size if sampler.grid_size >= 2 else PALLAS_CONST_GRID
     signed = bool(sampler.signed_bound)
     adaptive = bool(sampler.adaptive)
     kind = kernel_kind(sampler)

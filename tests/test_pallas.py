@@ -268,3 +268,40 @@ def test_pallas_curved_flow_kinds_match_xla(make):
         return float(np.clip(ar[k == pf.EV_JUMP], 0, 1).mean())
 
     assert abs(acc_ar(res_p) - acc_ar(res_x)) < 0.06
+
+
+def test_pallas_const_bound_banana():
+    """``grid_size == 0`` samplers run on the fused kernel via the
+    ``PALLAS_CONST_GRID`` envelope substitution (driver.py): the BASELINE
+    50-d banana headline config (``README.md:55-80``) must produce the same
+    posterior statistics as the XLA constant-bound path."""
+    dim, B, n_sk = 8, 128, 200
+
+    def banana_grad(x):
+        m = x[0] ** 2 - 1
+        g0 = x[0] - 2.0 * x[0] * (x[1] - m)
+        g1 = x[1] - m
+        return jnp.concatenate([jnp.array([g0, g1]), x[2:]])
+
+    zz = pf.ZigZag(dim, banana_grad, grid_size=0)
+    assert pdrv.supports_pallas(zz)
+    skel_p = pf.sample_skeleton(
+        zz, n_sk, np.zeros((B, dim)), np.ones((B, dim)), seed=0,
+        backend="pallas", dtype=jnp.float32,
+    )
+    assert (np.asarray(skel_p.n_valid) == n_sk).all()
+
+    zz_x = pf.ZigZag(dim, banana_grad, grid_size=0)
+    skel_x = pf.sample_skeleton(
+        zz_x, n_sk, np.zeros((B, dim)), np.ones((B, dim)), seed=0,
+        backend="xla", dtype=jnp.float32,
+    )
+    from pdmpflux_tpu.parallel.sharded import sample_from_skeleton_batch
+
+    s_p = np.asarray(sample_from_skeleton_batch(zz, 64, skel_p))
+    s_x = np.asarray(sample_from_skeleton_batch(zz_x, 64, skel_x))
+    # Gaussian tail coords (2:) have exact moments 0 / 1
+    assert np.abs(s_p[..., 2:].mean()) < 0.15
+    assert np.abs(s_p[..., 2:].var() - 1.0) < 0.3
+    # cross-backend agreement on the banana coords (MC tolerance)
+    assert np.abs(s_p.mean((0, 1)) - s_x.mean((0, 1))).max() < 0.35

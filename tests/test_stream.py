@@ -100,3 +100,28 @@ def test_stream_overflow_reports_partial():
     res = run(st, stream, jnp.zeros((B,), jnp.int32), 10_000)
     assert int(res.transitions) == tiny_cap
     assert (np.asarray(res.counts) < 10_000).all()
+
+
+def test_stream_host_accumulation_matches_device(monkeypatch):
+    """The host-accumulated stream loop (large-payload fallback used when the
+    device-side accumulator would exceed HBM, e.g. dim-1000 sticky runs) is
+    bit-exact with the device-side accumulation path."""
+    from pdmpflux_tpu import api
+
+    dim, Bc, n_sk = 6, 16, 50
+
+    def run(host):
+        monkeypatch.setenv("PDMPFLUX_STREAM_HOST_ACC", "1" if host else "0")
+        zz = pf.ZigZagAD(dim, lambda x: jnp.sum(x * x) / 2)
+        return api._sample_skeleton_events_stream(
+            zz, n_sk, np.zeros((Bc, dim)), np.ones((Bc, dim)),
+            0, jnp.float32, 200, False,
+        )
+
+    s_host = run(True)
+    s_dev = run(False)
+    assert (np.asarray(s_host.n_valid) == np.asarray(s_dev.n_valid)).all()
+    assert (np.asarray(s_host.kind) == np.asarray(s_dev.kind)).all()
+    np.testing.assert_allclose(np.asarray(s_host.x), np.asarray(s_dev.x))
+    np.testing.assert_allclose(np.asarray(s_host.t), np.asarray(s_dev.t))
+    np.testing.assert_allclose(np.asarray(s_host.ar), np.asarray(s_dev.ar))
