@@ -47,6 +47,7 @@ def kernel_kind(sampler):
     """
     from ...models.boomerang import Boomerang
     from ...models.bps import BPS
+    from ...models.ecmc import ForwardECMC
     from ...models.speedup_zigzag import SpeedUpZigZag
     from ...models.zigzag import ZigZag
 
@@ -60,7 +61,18 @@ def kernel_kind(sampler):
         return "bps"
     if type(sampler) is Boomerang:
         return "boomerang"
+    if type(sampler) is ForwardECMC:
+        return "ecmc"
     return None
+
+
+def _ecmc_params(sampler, kind):
+    """Static jump parameters for the ``"ecmc"`` kernel variant."""
+    if kind != "ecmc":
+        return ()
+    return (bool(sampler.ran_p), float(sampler.mix_p), bool(sampler.switch),
+            bool(sampler.positive), float(sampler.speed_factor),
+            bool(sampler.normal))
 
 
 def _kernel_gaussian_velocity(sampler, kind):
@@ -73,6 +85,41 @@ def _kernel_gaussian_velocity(sampler, kind):
 
 def supports_pallas(sampler) -> bool:
     return kernel_kind(sampler) is not None
+
+
+def pick_tile(sampler, B: int, chunk: int = 32):
+    """Largest lane-tile whose kernel working set fits VMEM, or None.
+
+    The kernel's scoped VMEM per lane is dominated by the ``K``-transition
+    event-stream blocks (``2d + 12`` floats each), the envelope values /
+    tangents (``2 n_grid`` rows, ``x d`` for vectorized bounds), the RNG
+    block and a few ``(d,)`` temporaries; outputs are double-buffered by the
+    pipeline, hence the x2.  Measured calibration: dim-50 grid-9 vectorized
+    at tile 512 wants 17.2 MB (compiler-reported), this estimate gives 20.7.
+    """
+    kind = kernel_kind(sampler)
+    if kind is None:
+        return None
+    d = sampler.dim
+    n_grid = sampler.grid_size if sampler.grid_size >= 2 else PALLAS_CONST_GRID
+    vect = kind in ("zigzag", "suzz")
+    if vect:
+        n_u = d + 2
+    elif kind == "ecmc":
+        n_u = 6 + 6 * d
+    else:
+        n_u = 3 + 2 * d
+    per_lane = (
+        chunk * (2 * d + 12)
+        + 2 * n_grid * (d if vect else 1)
+        + 10 * d + n_u + 64
+    )
+    for tile in (512, 256, 128):
+        if B % tile:
+            continue
+        if per_lane * 4 * 2 * tile <= 14 * (1 << 20):
+            return tile
+    return None
 
 
 def _hoist_consts(fn, *example_avals):
@@ -159,6 +206,7 @@ def make_pallas_stream_runner(sampler, t_cap: int, n_events_target: int,
         raise ValueError(f"no fused kernel covers sampler {type(sampler).__name__}")
     refresh = float(sampler.refresh_rate)
     gaussian_velocity = _kernel_gaussian_velocity(sampler, kind)
+    ecmc_params = _ecmc_params(sampler, kind)
     if t_cap % chunk:
         raise ValueError(f"t_cap={t_cap} must be a multiple of chunk={chunk}")
     n_chunks = t_cap // chunk
@@ -197,6 +245,7 @@ def make_pallas_stream_runner(sampler, t_cap: int, n_events_target: int,
                 adaptive=adaptive, signed=signed, refresh_rate=refresh,
                 cap=n_events_target, tile=tile, interpret=interpret,
                 kind=kind, gaussian_velocity=gaussian_velocity,
+                ecmc_params=ecmc_params,
             )
             x, v, fs, iscal, ring, evk, evx, evv, evfs, evring = outs
             offset = it * chunk
@@ -257,6 +306,7 @@ def make_pallas_fixed_runner(sampler, n_events: int, max_transitions: int,
         raise ValueError(f"no fused kernel covers sampler {type(sampler).__name__}")
     refresh = float(sampler.refresh_rate)
     gaussian_velocity = _kernel_gaussian_velocity(sampler, kind)
+    ecmc_params = _ecmc_params(sampler, kind)
     n_chunks = max(1, -(-max_transitions // chunk))
 
     def run(state: PDMPState, skel: Skeleton) -> engine.RunResult:
@@ -293,6 +343,7 @@ def make_pallas_fixed_runner(sampler, n_events: int, max_transitions: int,
                 adaptive=adaptive, signed=signed, refresh_rate=refresh,
                 cap=n_events, tile=tile, interpret=interpret,
                 kind=kind, gaussian_velocity=gaussian_velocity,
+                ecmc_params=ecmc_params,
             )
             x, v, fs, iscal, ring, evk, evx, evv, evfs, evring = outs
             C = chunk

@@ -117,11 +117,24 @@ def _uniform(seed, salt, shape, dtype):
     return u + (0.5 / (1 << 24))
 
 
+def _box_muller(u1, u2):
+    """Standard normals from two (0,1) uniform blocks of equal shape."""
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
+
+
+def _normalize_lanes(u, eps=0.0):
+    """Normalize each lane's ``(d,)`` column of a ``(d, TB)`` block; zero
+    columns pass through unchanged.  Returns (unit, norm)."""
+    n = jnp.sqrt(jnp.sum(u * u, axis=0))
+    return u / jnp.where(n > eps, n, 1.0)[None, :], n
+
+
 def _make_kernel(grad_vec: Callable, flow_vec: Callable, *, n_grid: int,
                  K: int, dim: int,
                  adaptive: bool, signed: bool, refresh_rate: float,
                  cap: int, dtype, kind: str = "zigzag",
                  gaussian_velocity: bool = False,
+                 ecmc_params: tuple = (),
                  grad_const_shapes: tuple = (),
                  flow_const_shapes: tuple = ()):
     """Build the kernel body.
@@ -143,7 +156,13 @@ def _make_kernel(grad_vec: Callable, flow_vec: Callable, *, n_grid: int,
         ``<grad_like(x_t), v_t> (+ refresh)`` with the bounce-or-refresh
         velocity kernel (BouncyParticleSamplers.jl:39-74 /
         BoomerangSamplers.jl:51-65); refresh velocities come from
-        Box-Muller pairs, normalized unless ``gaussian_velocity``.
+        Box-Muller pairs, normalized unless ``gaussian_velocity``;
+      * ``"ecmc"`` — scalar-dot rate (refresh forced 0) with the Forward
+        Event-Chain gradient-frame jump
+        (ForwardEventChainMonteCarlo.jl:132-176): radial draw along the
+        normalized gradient, orthogonal component kept / orthogonally
+        switched / fully refreshed per ``ecmc_params = (ran_p, mix_p,
+        switch, positive, speed_factor, normal)``.
     """
     G = n_grid - 1  # segments
     vect = kind in ("zigzag", "suzz")
@@ -286,8 +305,14 @@ def _make_kernel(grad_vec: Callable, flow_vec: Callable, *, n_grid: int,
             # loop index (Mosaic supports no dynamic_slice on values, and the
             # stateful TPU PRNG is unreliable inside lax loops).  Rows:
             # zigzag: [exp, accept, d gumbels];
-            # bps:    [exp, accept, bounce, 2d Box-Muller uniforms].
-            n_u = (dim + 2) if vect else (3 + 2 * dim)
+            # bps:    [exp, accept, bounce, 2d Box-Muller uniforms];
+            # ecmc:   [exp, accept, rho1, rho2, mix, theta, 6d BM uniforms].
+            if vect:
+                n_u = dim + 2
+            elif kind == "ecmc":
+                n_u = 6 + 6 * dim
+            else:
+                n_u = 3 + 2 * dim
             u_row = _uniform(seed_val, k, (n_u, TB), dtype)
             u_acc = u_row[1]
             acc = u_acc < ar_new
@@ -318,6 +343,73 @@ def _make_kernel(grad_vec: Callable, flow_vec: Callable, *, n_grid: int,
                 )
                 flip = onehot & p_acc[None, :]
                 v_new = jnp.where(flip, -v_flow, v_flow)
+            elif kind == "ecmc":
+                # gradient-frame jump (ForwardEventChainMonteCarlo.jl:132-176)
+                ran_p, mix_p, switch, positive, sf, normal_radial = ecmc_params
+                g_j = grad_fn(x_new)
+                n_dir, gn = _normalize_lanes(g_j)
+                n_dir = jnp.where((gn > 0)[None, :], n_dir, 0.0)
+                vp = jnp.sum(v_flow * n_dir, axis=0)
+                v_o = v_flow - vp[None, :] * n_dir
+                # degenerate orthogonal-component regeneration (:159-162)
+                von = jnp.sqrt(jnp.sum(v_o * v_o, axis=0))
+                base = 6
+                fresh_o = _box_muller(
+                    u_row[base : base + dim],
+                    u_row[base + dim : base + 2 * dim],
+                )
+                fresh_o = fresh_o - jnp.sum(fresh_o * n_dir, axis=0)[None, :] * n_dir
+                v_o = jnp.where((von < 1e-10)[None, :], fresh_o, v_o)
+                g1 = _box_muller(
+                    u_row[base + 2 * dim : base + 3 * dim],
+                    u_row[base + 3 * dim : base + 4 * dim],
+                )
+                if switch:
+                    # orthogonal switch: rotate v_o within a random 2-plane
+                    # of n's orthogonal complement (:60-88)
+                    g2 = _box_muller(
+                        u_row[base + 4 * dim : base + 5 * dim],
+                        u_row[base + 5 * dim : base + 6 * dim],
+                    )
+                    g1p = g1 - jnp.sum(g1 * n_dir, axis=0)[None, :] * n_dir
+                    g2p = g2 - jnp.sum(g2 * n_dir, axis=0)[None, :] * n_dir
+                    e1, _ = _normalize_lanes(g1p)
+                    e2 = g2p - jnp.sum(g2p * e1, axis=0)[None, :] * e1
+                    e2, _ = _normalize_lanes(e2)
+                    c1 = jnp.sum(v_o * e1, axis=0)
+                    c2 = jnp.sum(v_o * e2, axis=0)
+                    v_r = v_o - c1[None, :] * e1 - c2[None, :] * e2
+                    if ran_p:
+                        theta = u_row[5] * (2.0 * jnp.pi)
+                        ct, st = jnp.cos(theta), jnp.sin(theta)
+                        v_prop = (
+                            v_r
+                            + (ct[None, :] * e1 + st[None, :] * e2) * c1[None, :]
+                            + (st[None, :] * e1 - ct[None, :] * e2) * c2[None, :]
+                        )
+                    else:
+                        v_prop = v_r + e2 * c1[None, :] + e1 * c2[None, :]
+                    if positive:
+                        s = jnp.sign(jnp.sum(v_o * v_prop, axis=0))
+                        v_prop = v_prop * jnp.where(s == 0, 1.0, s)[None, :]
+                else:
+                    # full orthogonal refresh (:105-113)
+                    gg, _ = _normalize_lanes(g1)
+                    v_prop = gg - jnp.sum(gg * n_dir, axis=0)[None, :] * n_dir
+                do_ref = (u_row[4] < mix_p)[None, :]
+                v_o_sel = jnp.where(do_ref, v_prop, v_o)
+                v_o_unit, _ = _normalize_lanes(v_o_sel)
+                if normal_radial:
+                    rho = sf * (-jnp.abs(_box_muller(u_row[2], u_row[3])))
+                    mag2 = jnp.sum(v_o_sel * v_o_sel, axis=0)
+                    tang = jnp.sqrt(jnp.maximum(0.0, sf * sf * mag2 - rho * rho))
+                else:
+                    rho = sf * (-jnp.sqrt(
+                        1.0 - u_row[2] ** (2.0 / (dim - 1))
+                    ))
+                    tang = jnp.sqrt(jnp.maximum(0.0, sf * sf - rho * rho))
+                v_jumped = v_o_unit * tang[None, :] + rho[None, :] * n_dir
+                v_new = jnp.where(p_acc[None, :], v_jumped, v_flow)
             else:
                 # bounce-or-refresh (BouncyParticleSamplers.jl:50-74;
                 # Boomerang bounces on the effective gradient,
@@ -473,12 +565,12 @@ def _normalize_consts(consts):
     jax.jit,
     static_argnames=("grad_vec", "flow_vec", "n_grid", "K", "adaptive",
                      "signed", "refresh_rate", "cap", "tile", "interpret",
-                     "kind", "gaussian_velocity"),
+                     "kind", "gaussian_velocity", "ecmc_params"),
 )
 def run_chunk(seed, x, v, fs, iscal, ring, *, grad_vec, flow_vec, n_grid, K,
               adaptive, signed, refresh_rate, cap, tile=512, interpret=False,
-              kind="zigzag", gaussian_velocity=False, grad_consts=(),
-              flow_consts=()):
+              kind="zigzag", gaussian_velocity=False, ecmc_params=(),
+              grad_consts=(), flow_consts=()):
     """Run one fused chunk of ``K`` transitions.
 
     Inputs are kernel-layout: ``x``/``v`` ``(d, B)``, ``fs`` ``(NF, B)``,
@@ -505,6 +597,7 @@ def run_chunk(seed, x, v, fs, iscal, ring, *, grad_vec, flow_vec, n_grid, K,
         grad_vec, flow_vec, n_grid=n_grid, K=K, dim=d, adaptive=adaptive,
         signed=signed, refresh_rate=refresh_rate, cap=cap, dtype=dtype,
         kind=kind, gaussian_velocity=gaussian_velocity,
+        ecmc_params=ecmc_params,
         grad_const_shapes=grad_shapes, flow_const_shapes=flow_shapes,
     )
 

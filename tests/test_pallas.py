@@ -129,10 +129,11 @@ def test_supports_pallas_gating():
     assert pdrv.kernel_kind(pf.BPS(4, lambda x: x)) == "bps"
     assert pdrv.kernel_kind(pf.Boomerang(4, lambda x: x)) == "boomerang"
     assert pdrv.kernel_kind(pf.SpeedUpZigZag(4, lambda x: x)) == "suzz"
+    assert pdrv.kernel_kind(pf.ForwardECMC(4, lambda x: x)) == "ecmc"
+    # constant-bound samplers map onto the kernel's PALLAS_CONST_GRID envelope
+    assert pdrv.supports_pallas(pf.ZigZag(4, lambda x: x, grid_size=0))
     assert not pdrv.supports_pallas(pf.StickyZigZag(4, lambda x: x))
-    assert not pdrv.supports_pallas(pf.ZigZag(4, lambda x: x, grid_size=0))
     assert not pdrv.supports_pallas(pf.RHMC(4, lambda x: x))
-    assert not pdrv.supports_pallas(pf.ForwardECMC(4, lambda x: x))
     with pytest.raises(ValueError):
         pf.sample_skeleton(
             pf.RHMC(4, lambda x: x), 10, np.zeros(4), np.ones(4),
@@ -305,3 +306,63 @@ def test_pallas_const_bound_banana():
     assert np.abs(s_p[..., 2:].var() - 1.0) < 0.3
     # cross-backend agreement on the banana coords (MC tolerance)
     assert np.abs(s_p.mean((0, 1)) - s_x.mean((0, 1))).max() < 0.35
+
+
+@pytest.mark.parametrize("kw", [
+    dict(), dict(switch=False), dict(ran_p=True), dict(mix_p=0.9),
+], ids=["default", "full-refresh", "random-angle", "high-mix"])
+def test_pallas_ecmc_matches_xla(kw):
+    """Forward ECMC kernel variant (gradient-frame jump with orthogonal
+    switch / full refresh, ForwardEventChainMonteCarlo.jl:132-176): N(0, I)
+    posterior moments and acceptance statistics agree with the XLA engine
+    in law across jump-parameter variants."""
+    from pdmpflux_tpu.parallel.sharded import pooled_moments
+
+    dim, B2, t_cap, target = 5, 128, 1024, 250
+    sampler = pf.ForwardECMC(dim, lambda x: x, **kw)
+    assert pdrv.kernel_kind(sampler) == "ecmc"
+    rng = np.random.default_rng(0)
+    v0 = rng.normal(size=(B2, dim))
+    v0 /= np.linalg.norm(v0, axis=1, keepdims=True)
+
+    def prep(seed):
+        st = sampler.init_state_batch(
+            np.zeros((B2, dim)), v0, seed, dtype=jnp.float32)
+        return st, engine.empty_stream(t_cap, dim, jnp.float32, B2), \
+            jnp.zeros((B2,), jnp.int32)
+
+    run_p = jax.jit(pdrv.make_pallas_stream_runner(
+        sampler, t_cap, target, chunk=16, tile=128, interpret=True))
+    res_p = run_p(*prep(0))
+    assert (np.asarray(res_p.counts) == target).all()
+    mean_p, var_p = pooled_moments(res_p.stream, sampler, 250)
+    assert np.all(np.abs(np.asarray(mean_p)) < 0.2)
+    assert np.all(np.abs(np.asarray(var_p) - 1.0) < 0.3)
+
+    run_x = jax.jit(engine.make_stream_runner(sampler, t_cap, chunk=32),
+                    static_argnums=(3,))
+    res_x = run_x(*prep(1), target)
+    mean_x, var_x = pooled_moments(res_x.stream, sampler, 250)
+    assert np.all(np.abs(np.asarray(mean_p) - np.asarray(mean_x)) < 0.25)
+    assert np.all(np.abs(np.asarray(var_p) - np.asarray(var_x)) < 0.35)
+
+    def acc_ar(res):
+        nv = int(np.asarray(res.stream.n_valid)[0])
+        k = np.asarray(res.stream.kind)[:, :nv]
+        ar = np.asarray(res.stream.ar)[:, :nv]
+        return float(np.clip(ar[k == pf.EV_JUMP], 0, 1).mean())
+
+    assert abs(acc_ar(res_p) - acc_ar(res_x)) < 0.06
+
+
+def test_pick_tile_vmem_budget():
+    """The tile picker shrinks the lane tile as the kernel working set grows
+    and returns None when nothing fits (calibrated against the dim-50 grid-9
+    VMEM overflow observed at tile 512 on v5e)."""
+    small = pf.ZigZag(10, lambda x: x)
+    assert pdrv.pick_tile(small, 4096) == 512
+    banana50 = pf.ZigZag(50, lambda x: x, grid_size=0)
+    assert pdrv.pick_tile(banana50, 512) in (128, 256)
+    huge = pf.ZigZag(2000, lambda x: x)
+    assert pdrv.pick_tile(huge, 512) is None
+    assert pdrv.pick_tile(small, 100) is None  # not tile-divisible
