@@ -1,11 +1,25 @@
 """BASELINE.json config sweep: events/s, ESS/s, acceptance rate per config.
 
-Runs the five reference-derived benchmark configurations (BASELINE.md) and
-prints one JSON object per config.  Usage::
+Runs the six reference-derived benchmark configurations (BASELINE.md: the
+five BASELINE.json configs plus RHMC, VERDICT.md item 9) and prints one JSON
+object per config, plus writes ``benchmarks/baseline_results.json``.
 
-    python benchmarks/run_baselines.py [--quick]
+Usage::
 
-Chain counts / event budgets auto-scale down with ``--quick`` or on CPU.
+    python benchmarks/run_baselines.py [--quick] [--configs a,b,...]
+
+ESS/s estimator (VERDICT.md item 5): per-chain Geyer initial-positive-
+sequence ESS on EVERY coordinate, summed over chains per coordinate
+(chains are independent by construction — distinct PRNG keys); the reported
+aggregate is the WORST coordinate's total.  The sum is gated on split-R-hat:
+``rhat_ok`` must be true (max_d split_rhat < 1.02) for the pooled number to
+be meaningful, and the max R-hat is reported alongside.
+
+``single_chain_events_per_sec`` is the measured B=1 throughput of this same
+framework on the same config — the honest per-chip anchor standing proxy
+for a single-node single-chain run (the reference publishes no numbers;
+its Julia implementation is ~4x slower than the JAX pdmp_jax equivalent,
+``/root/reference/README.md:169``).
 """
 
 from __future__ import annotations
@@ -20,14 +34,27 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(quick: bool = False):
+def _run_once(pf, sampler, n_ev, x0, v0, seed, kw):
+    """One timed sample_skeleton call; returns (skel, wall_s, events)."""
+    import jax
+
+    t0 = time.perf_counter()
+    skel = pf.sample_skeleton(sampler, n_ev, x0, v0, seed=seed, **kw)
+    n_valid = np.asarray(jax.device_get(skel.n_valid))
+    # force materialization through the device tunnel
+    float(np.asarray(skel.t).reshape(-1)[-1])
+    wall = time.perf_counter() - t0
+    B = 1 if np.ndim(skel.t) == 1 else np.shape(skel.t)[0]
+    events = int(n_valid.sum()) - B
+    return skel, wall, events
+
+
+def main(quick: bool = False, only=None):
     import jax
     import jax.numpy as jnp
 
     import pdmpflux_tpu as pf
-    from pdmpflux_tpu.diagnostics import ess_per_dim
-    from pdmpflux_tpu.core import engine
-    from pdmpflux_tpu.core.types import EV_INIT, empty_skeleton
+    from pdmpflux_tpu.diagnostics import ess_summary
     from pdmpflux_tpu.parallel.sharded import (
         pooled_moments,
         sample_from_skeleton_batch,
@@ -43,26 +70,37 @@ def main(quick: bool = False):
         g1 = x[1] - m
         return jnp.concatenate([jnp.array([g0, g1]), x[2:]])
 
+    # Per-config truth for moment-error reporting: (mean, var) arrays or None.
     configs = [
         dict(name="zigzag_gauss_d10", dim=10,
              make=lambda: pf.ZigZagAD(10, potentials.gauss),
-             B=4096 // scale, n_ev=2048 // scale),
+             B=4096 // scale, n_ev=2048 // scale,
+             truth=(np.zeros(10), np.ones(10))),
         dict(name="zigzag_banana_d50_constbound", dim=50,
              make=lambda: pf.ZigZag(50, banana_grad, grid_size=0),
-             B=512 // scale, n_ev=2048 // scale),
+             B=512 // scale, n_ev=2048 // scale, truth=None),
         dict(name="bps_anisotropic_gauss_d10", dim=10,
              make=lambda: pf.BPSAD(10, potentials.anisotropic_gauss(
                  np.linspace(0.5, 3.0, 10)), refresh_rate=0.5),
-             B=512 // scale, n_ev=1024 // scale),
+             B=512 // scale, n_ev=1024 // scale,
+             truth=(np.zeros(10), np.linspace(0.5, 3.0, 10) ** 2)),
         dict(name="boomerang_gauss_d10", dim=10,
              make=lambda: pf.Boomerang(10, lambda x: x, refresh_rate=0.5),
-             B=512 // scale, n_ev=1024 // scale),
+             B=512 // scale, n_ev=1024 // scale,
+             truth=(np.zeros(10), np.ones(10))),
+        dict(name="rhmc_gauss_d10", dim=10,
+             make=lambda: pf.RHMCAD(10, potentials.gauss, refresh_rate=1.0),
+             B=512 // scale, n_ev=1024 // scale,
+             truth=(np.zeros(10), np.ones(10))),
         dict(name="sticky_zigzag_d1000", dim=1000,
              make=lambda: pf.StickyZigZagAD(
                  1000, potentials.gauss, np.full(1000, 10.0)),
-             B=64 // max(scale // 4, 1), n_ev=8192 // scale),
+             B=128 // max(scale // 4, 1), n_ev=8192 // scale, truth=None),
     ]
+    if only:
+        configs = [c for c in configs if c["name"] in only]
 
+    results = []
     for cfg in configs:
         dim, B, n_ev = cfg["dim"], max(cfg["B"], 8), max(cfg["n_ev"], 64)
         sampler = cfg["make"]()
@@ -74,43 +112,77 @@ def main(quick: bool = False):
         v0 = np.ones((B, dim))
 
         # "auto" selects the scatter-free stream recorders on TPU (with the
-        # fused Pallas kernel for ZigZag-family samplers).
+        # fused Pallas kernel where supported).
         backend = "auto" if on_tpu else "xla"
-        kw = dict(seed=0, dtype=jnp.float32, backend=backend)
+        kw = dict(dtype=jnp.float32, backend=backend)
 
-        # warmup/compile
-        pf.sample_skeleton(sampler, n_ev, x0, v0, **kw)
-        t0 = time.perf_counter()
-        skel = pf.sample_skeleton(sampler, n_ev, x0, v0, **{**kw, "seed": 1})
-        # force materialization through the device tunnel
-        n_valid = np.asarray(jax.device_get(skel.n_valid))
-        t_sum = float(np.asarray(skel.t).sum())
-        wall = time.perf_counter() - t0
-
-        events = int(n_valid.sum()) - B
+        _run_once(pf, sampler, n_ev, x0, v0, 0, kw)  # warmup/compile
+        skel, wall, events = _run_once(pf, sampler, n_ev, x0, v0, 1, kw)
         ev_s = events / wall
 
-        # ESS/s on pooled per-chain samples (first 4 coords to bound cost)
+        # single-chain anchor: same config at B=1 (fresh sampler, XLA path —
+        # one chain never fills a kernel tile)
+        anchor_ev = min(n_ev, 1024)
+        s1 = cfg["make"]()
+        kw1 = dict(dtype=jnp.float32, backend=backend)
+        _run_once(pf, s1, anchor_ev, x0[:1], v0[:1], 0, kw1)
+        _, wall1, events1 = _run_once(pf, s1, anchor_ev, x0[:1], v0[:1], 1, kw1)
+        ev_s_single = events1 / wall1
+
+        # ESS/s over ALL coordinates with split-R-hat gating
         n_per = min(2048, 4 * n_ev)
         smp = np.asarray(sample_from_skeleton_batch(sampler, n_per, skel))
-        k = min(4, dim)
-        ess_chain = np.stack([ess_per_dim(smp[b, :, :k]) for b in range(min(B, 32))])
-        ess_total = float(ess_chain.mean(axis=0).min()) * B  # worst coord, all chains
-        mean, var = pooled_moments(skel, sampler, min(1024, n_per))
-        ar = np.asarray(skel.ar)[:, 1:]
+        summ = ess_summary(smp, rhat_threshold=1.02)
+        ess_total = summ["ess_total_worst_coord"]
 
-        print(json.dumps({
+        mean, var = pooled_moments(skel, sampler, min(1024, n_per))
+        mean, var = np.asarray(mean), np.asarray(var)
+        ar = np.asarray(skel.ar)[:, 1:]
+        row = {
             "config": cfg["name"],
             "backend": backend,
+            "platform": jax.devices()[0].platform,
             "chains": B,
+            "events_per_chain": n_ev,
             "events_per_sec": round(ev_s, 1),
-            "ess_per_sec": round(ess_total / wall, 1),
+            "single_chain_events_per_sec": round(ev_s_single, 1),
+            "parallel_speedup": round(ev_s / max(ev_s_single, 1e-9), 1),
+            "ess_per_sec_worst_coord": round(ess_total / wall, 1),
+            "rhat_max": round(summ["rhat_max"], 4),
+            "rhat_ok": summ["converged"],
             "mean_acceptance": round(float(ar.mean()), 4),
             "wall_s": round(wall, 3),
-            "moment_mean_absmax": round(float(np.abs(np.asarray(mean)).max()), 4),
-            "moment_var_mean": round(float(np.asarray(var).mean()), 4),
-        }), flush=True)
+        }
+        if cfg["truth"] is not None:
+            tm, tv = cfg["truth"]
+            row["moment_mean_err_max"] = round(float(np.abs(mean - tm).max()), 4)
+            row["moment_var_relerr_max"] = round(
+                float(np.abs(var / tv - 1.0).max()), 4
+            )
+        else:
+            row["moment_mean_absmax"] = round(float(np.abs(mean).max()), 4)
+            row["moment_var_mean"] = round(float(var.mean()), 4)
+        if cfg["name"].startswith("sticky"):
+            kind = np.asarray(skel.kind)
+            row["stick_events"] = int((kind == 3).sum())
+            row["thaw_events"] = int((kind == 4).sum())
+            act = np.asarray(skel.is_active)
+            nv = np.asarray(skel.n_valid)
+            last = act[np.arange(B), np.maximum(nv - 1, 0)]
+            row["frozen_frac_final"] = round(float(1.0 - last.mean()), 4)
+        print(json.dumps(row), flush=True)
+        results.append(row)
+
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "baseline_results.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"# wrote {out_path}", file=sys.stderr)
 
 
 if __name__ == "__main__":
-    main(quick="--quick" in sys.argv)
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--configs"):
+            only = a.split("=", 1)[1].split(",")
+    main(quick="--quick" in sys.argv, only=only)

@@ -31,10 +31,22 @@ def diagnostic(skeleton: Skeleton, color="#78C2AD", show=False, save_path=None):
     ar = np.asarray(skeleton.ar)
     hit = np.asarray(skeleton.hitting_horizon)
     rej = np.asarray(skeleton.rejected)
-    err_total = int(np.sum(np.asarray(skeleton.errored_bound)))
+    err = np.asarray(skeleton.errored_bound)
+    if t.ndim == 2:
+        # chain batch: pool only the valid (written) rows of each chain —
+        # padding slots are zeros and would corrupt every histogram
+        n_valid = np.asarray(skeleton.n_valid)
+        valid = np.arange(t.shape[1])[None, :] < n_valid[:, None]
+        dt = np.concatenate(
+            [np.diff(t[b, : n_valid[b]]) for b in range(t.shape[0])]
+        )
+        ar, hit, rej, err = (a[valid] for a in (ar, hit, rej, err))
+    else:
+        dt = np.diff(t)
+    err_total = int(err.sum())
 
     fig, axes = plt.subplots(2, 2, figsize=(12, 9))
-    axes[0, 0].hist(np.diff(t), bins="auto", color=color)
+    axes[0, 0].hist(dt, bins="auto", color=color)
     axes[0, 0].set(title="Time between events histogram", xlabel="Time",
                    ylabel="Count")
     axes[0, 1].hist(ar, bins="auto", color=color, density=True)
@@ -127,3 +139,89 @@ def ess_per_dim(samples: np.ndarray) -> np.ndarray:
     """ESS of each coordinate of an ``(N, d)`` sample array."""
     s = np.asarray(samples, float)
     return np.asarray([ess(s[:, j]) for j in range(s.shape[1])])
+
+
+def ess_nd(samples: np.ndarray) -> np.ndarray:
+    """Vectorized Geyer ESS: ``(B, N, d)`` chains-by-samples-by-coordinates
+    (or ``(N, d)`` / ``(N,)``) -> per-series ESS with the chain/coordinate
+    axes preserved.  Identical estimator to :func:`ess`, batched through one
+    FFT so benchmark sweeps can afford ESS over *all* coordinates of
+    hundreds of chains."""
+    s = np.asarray(samples, float)
+    shape = s.shape
+    if s.ndim == 1:
+        s = s[None, :, None]
+    elif s.ndim == 2:
+        s = s[None]
+    B, N, d = s.shape
+    if N < 4:
+        full = np.full((B, d), float(N))
+        return full[0, 0] if len(shape) == 1 else (
+            full[0] if len(shape) == 2 else full
+        )
+    x = s - s.mean(axis=1, keepdims=True)
+    m = 1 << (2 * N - 1).bit_length()
+    f = np.fft.rfft(x, m, axis=1)
+    acov = np.fft.irfft(f * np.conj(f), axis=1)[:, :N].real
+    var0 = acov[:, 0:1]
+    ok = var0 > 0
+    rho = np.where(ok, acov / np.where(ok, var0, 1.0), 0.0)
+    n_pairs = (N - 1) // 2
+    gamma = rho[:, : 2 * n_pairs : 2] + rho[:, 1 : 2 * n_pairs + 1 : 2]
+    nonpos = gamma <= 0
+    first = np.where(nonpos.any(axis=1), nonpos.argmax(axis=1), n_pairs)
+    k_idx = np.arange(n_pairs)[None, :, None]
+    tau = -1.0 + 2.0 * np.sum(
+        np.where(k_idx < first[:, None, :], gamma, 0.0), axis=1
+    )
+    out = np.where(ok[:, 0], N / np.maximum(tau, 1e-12), float(N))  # (B, d)
+    if len(shape) == 1:
+        return out[0, 0]
+    if len(shape) == 2:
+        return out[0]
+    return out
+
+
+def split_rhat(samples: np.ndarray) -> np.ndarray:
+    """Split-R̂ per coordinate of a ``(B, N, d)`` chain batch (each chain is
+    halved, giving ``2B`` sequences; Gelman-Rubin potential scale reduction
+    on the halves).  Values near 1 indicate the chains agree with their own
+    second halves and with each other."""
+    s = np.asarray(samples, float)
+    if s.ndim == 2:
+        s = s[None]
+    B, N, d = s.shape
+    n = N // 2
+    if n < 2:
+        return np.ones(d)
+    seq = np.concatenate([s[:, :n], s[:, n : 2 * n]], axis=0)  # (2B, n, d)
+    mu = seq.mean(axis=1)
+    W = seq.var(axis=1, ddof=1).mean(axis=0)
+    B_var = n * mu.var(axis=0, ddof=1)
+    var_plus = (n - 1) / n * W + B_var / n
+    return np.sqrt(np.where(W > 0, var_plus / np.where(W > 0, W, 1.0), 1.0))
+
+
+def ess_summary(samples: np.ndarray, rhat_threshold: float = 1.01) -> dict:
+    """Aggregate cross-chain ESS with convergence gating.
+
+    Estimator (printed by ``benchmarks/run_baselines.py``): per-chain Geyer
+    ESS on every coordinate, summed over chains per coordinate (chains are
+    independent by construction — distinct PRNG keys), with the **worst
+    coordinate** reported as the aggregate; the sum is only trustworthy when
+    the chains have converged, so ``converged`` gates on
+    ``max_d split_rhat < rhat_threshold``.
+    """
+    s = np.asarray(samples, float)
+    if s.ndim == 2:
+        s = s[None]
+    ess_bd = ess_nd(s)                    # (B, d)
+    per_coord = ess_bd.sum(axis=0)        # (d,)
+    rhat = split_rhat(s)
+    return {
+        "ess_per_coord": per_coord,
+        "ess_total_worst_coord": float(per_coord.min()),
+        "rhat": rhat,
+        "rhat_max": float(rhat.max()),
+        "converged": bool(rhat.max() < rhat_threshold),
+    }

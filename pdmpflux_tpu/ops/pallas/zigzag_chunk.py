@@ -92,12 +92,9 @@ def _threefry2x32(k0, k1, x0, x1):
     return x0, x1
 
 
-def _uniform(seed, salt, shape, dtype):
-    """(0, 1) uniforms from Threefry counters: ``seed`` keys the stream,
-    ``salt`` separates draws within a launch, positions index the grid."""
-    n = 1
-    for s in shape:
-        n *= s
+def _bits2(seed, salt, shape):
+    """Both Threefry output words on a position-indexed counter grid:
+    ``seed`` keys the stream, ``salt`` separates draws within a launch."""
     idx = jax.lax.broadcasted_iota(jnp.uint32, shape, len(shape) - 1)
     row = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     for axis in range(1, len(shape) - 1):
@@ -105,16 +102,56 @@ def _uniform(seed, salt, shape, dtype):
             jnp.uint32, shape, axis
         )
     counter = row * jnp.uint32(shape[-1]) + idx
-    b0, _ = _threefry2x32(
-        seed.astype(jnp.uint32),
+    return _threefry2x32(
+        jnp.asarray(seed).astype(jnp.uint32),
         jnp.asarray(salt).astype(jnp.uint32),
         counter,
         jnp.zeros_like(counter),
     )
-    # Mosaic has no uint32 -> float cast; hop through int32 (values < 2^24).
-    mant = jax.lax.bitcast_convert_type(b0 >> 8, jnp.int32)
-    u = mant.astype(dtype) * (1.0 / (1 << 24))
-    return u + (0.5 / (1 << 24))
+
+
+def _mant24(bits, dtype):
+    """Top 24 bits of a uint32 word as a float in [0, 1) (Mosaic has no
+    uint32 -> float cast; hop through int32 — values stay < 2^24)."""
+    mant = jax.lax.bitcast_convert_type(bits >> 8, jnp.int32)
+    return mant.astype(dtype) * (1.0 / (1 << 24))
+
+
+def _uniform(seed, salt, shape, dtype):
+    """(0, 1) uniforms from Threefry counters.
+
+    24 mantissa bits — exactly the uniform resolution float32 can represent
+    on [0.5, 1), and the granularity at which any f32 comparison ``u < ar``
+    resolves anyway; the acceptance-test bias per draw is < 2^-24, far below
+    the f32 rounding noise in ``ar`` itself.  Draws that need a deep left
+    tail (exponential clocks) use ``_exponential`` below, which consumes the
+    second Threefry word for 48-bit depth."""
+    b0, _ = _bits2(seed, salt, shape)
+    return _mant24(b0, dtype) + (0.5 / (1 << 24))
+
+
+_LN2_24 = 16.635532333438686  # 24 * ln 2
+
+
+def _exponential(seed, salt, shape, dtype):
+    """Exp(1) draws with a 48-bit-deep tail from both Threefry words.
+
+    A single 24-bit uniform truncates Exp(1) at ``-log(2^-25) ~ 17.3``; the
+    thinning clock consumes one Exp(1) per proposal, so pod-scale runs
+    (>10^10 draws) would visibly clip the tail.  Here ``u = (m0 + (m1 +
+    0.5) / 2^24) / 2^24`` uses both output words: when the top word is zero
+    (probability 2^-24) the draw continues into the next 24 bits, extending
+    the support to ``~ 48 ln 2 ~ 33.3`` with exact distribution down to
+    ``P = 2^-48`` (one expected clip per ~10^14 draws)."""
+    b0, b1 = _bits2(seed, salt, shape)
+    u_hi = _mant24(b0, dtype)
+    u_lo = _mant24(b1, dtype) + (0.5 / (1 << 24))
+    deep = u_hi == 0.0
+    u = jnp.where(deep, u_lo, u_hi + u_lo * (1.0 / (1 << 24)))
+    # the add can round u up to exactly 1.0 in f32; clamp to the largest
+    # float below 1 so draws stay strictly positive
+    u = jnp.minimum(u, 1.0 - 1.0 / (1 << 24))
+    return jnp.where(deep, _LN2_24, 0.0) - jnp.log(u)
 
 
 def _box_muller(u1, u2):
@@ -478,7 +515,10 @@ def _make_kernel(grad_vec: Callable, flow_vec: Callable, *, n_grid: int,
 
             # ---- proposal bookkeeping ------------------------------------
             reset = p_moveh | p_erreset | p_acc
-            e_draw = -jnp.log(u_row[0])
+            # full-tail Exp(1) clock (salt disjoint from the u_row stream)
+            e_draw = _exponential(
+                seed_val, jnp.uint32(0x80000000) + jnp.uint32(k), (1, TB), dtype
+            )[0]
             exp_new = jnp.where(
                 reset | p_err, e_draw,
                 jnp.where(p_rej, exp_s + e_draw, exp_s),

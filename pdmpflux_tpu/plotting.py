@@ -31,33 +31,54 @@ def _mpl():
 
 
 def plot_traj(skeleton: Skeleton, n_max: int = 1000, *, coords=(0, 1, 2),
-              xv_plot: bool = False, save_path=None, ax=None):
-    """Polyline of the first ``n_max`` skeleton points (plot.jl:71-130)."""
+              xv_plot: bool = False, save_path=None, ax=None, **plot_kw):
+    """Polyline of the first ``n_max`` skeleton points (plot.jl:71-130).
+
+    Passing ``ax=`` overlays onto an existing axes — the counterpart of the
+    reference's mutating ``plot_traj!`` (plot.jl:101-130).  For the 3-D case
+    the axes must have been created with ``projection="3d"``.  Extra keyword
+    arguments are forwarded to ``Axes.plot`` (color, label, ...).
+    """
     plt = _mpl()
     X = np.asarray(skeleton.x)[:n_max]
     V = np.asarray(skeleton.v)[:n_max]
     t = np.asarray(skeleton.t)[:n_max]
     d = X.shape[1]
+    plot_kw.setdefault("lw", 0.7)
+    overlay = ax is not None
+
+    three_d = not xv_plot and d >= 3 and len(coords) >= 3
+    if overlay:
+        fig, ax2 = ax.figure, ax
+        if three_d and ax.name != "3d":
+            raise ValueError(
+                "overlaying a 3-D trajectory requires an axes created with "
+                "projection='3d'"
+            )
+    elif three_d:
+        fig = plt.figure()
+        ax2 = fig.add_subplot(projection="3d")
+    else:
+        fig, ax2 = plt.subplots()
 
     if xv_plot:
-        fig, ax2 = plt.subplots()
-        ax2.plot(X[:, coords[0]], V[:, coords[0]], lw=0.7)
-        ax2.set(xlabel=f"x{coords[0]}", ylabel=f"v{coords[0]}",
-                title="Phase space trajectory")
+        ax2.plot(X[:, coords[0]], V[:, coords[0]], **plot_kw)
+        if not overlay:
+            ax2.set(xlabel=f"x{coords[0]}", ylabel=f"v{coords[0]}",
+                    title="Phase space trajectory")
     elif d == 1:
-        fig, ax2 = plt.subplots()
-        ax2.plot(t, X[:, 0], lw=0.7)
-        ax2.set(xlabel="t", ylabel="x", title="PDMP trajectory")
-    elif d == 2 or len(coords) < 3:
-        fig, ax2 = plt.subplots()
-        ax2.plot(X[:, coords[0]], X[:, coords[1]], lw=0.7)
-        ax2.set(xlabel=f"x{coords[0]}", ylabel=f"x{coords[1]}",
-                title="PDMP trajectory")
+        ax2.plot(t, X[:, 0], **plot_kw)
+        if not overlay:
+            ax2.set(xlabel="t", ylabel="x", title="PDMP trajectory")
+    elif not three_d:
+        ax2.plot(X[:, coords[0]], X[:, coords[1]], **plot_kw)
+        if not overlay:
+            ax2.set(xlabel=f"x{coords[0]}", ylabel=f"x{coords[1]}",
+                    title="PDMP trajectory")
     else:
-        fig = plt.figure()
-        ax3 = fig.add_subplot(projection="3d")
-        ax3.plot(X[:, coords[0]], X[:, coords[1]], X[:, coords[2]], lw=0.7)
-        ax3.set(title="PDMP trajectory")
+        ax2.plot(X[:, coords[0]], X[:, coords[1]], X[:, coords[2]], **plot_kw)
+        if not overlay:
+            ax2.set(title="PDMP trajectory")
     if save_path:
         fig.savefig(save_path)
     return fig
