@@ -51,6 +51,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ...core.types import (
     EV_JUMP,
     EV_NONE,
+    EV_STICK,
+    EV_THAW,
     MODE_ERRONEOUS,
     MODE_FRESH,
     MODE_REJECTED,
@@ -58,8 +60,8 @@ from ...core.types import (
 )
 
 # packed float-scalar rows
-F_T, F_TC, F_TS, F_H, F_BH, F_EXP, F_AR = range(7)
-NF = 7
+F_T, F_TC, F_TS, F_H, F_BH, F_EXP, F_AR, F_TT = range(8)
+NF = 8
 # packed int-scalar rows
 I_MODE, I_REJ, I_ERR, I_HIT, I_CNT = range(5)
 NI = 5
@@ -173,7 +175,9 @@ def _make_kernel(grad_vec: Callable, flow_vec: Callable, *, n_grid: int,
                  gaussian_velocity: bool = False,
                  ecmc_params: tuple = (),
                  grad_const_shapes: tuple = (),
-                 flow_const_shapes: tuple = ()):
+                 flow_const_shapes: tuple = (),
+                 sticky: bool = False,
+                 mode: str = "events"):
     """Build the kernel body.
 
     ``grad_vec``: lane-batched gradient-like map ``((d, TB), consts...) ->
@@ -200,20 +204,39 @@ def _make_kernel(grad_vec: Callable, flow_vec: Callable, *, n_grid: int,
         normalized gradient, orthogonal component kept / orthogonally
         switched / fully refreshed per ``ecmc_params = (ran_p, mix_p,
         switch, positive, speed_factor, normal)``.
+
+    ``sticky`` (``kind == "zigzag"`` only): carries a ``(d, TB)`` activity
+    mask and a thaw clock through the chunk, adding the stick/thaw branches
+    of the sticky event loop (``StickySamplingLoop.jl:13-164``) — axis-hit
+    sticking at ``-x_j / v_j``, thaw-coordinate selection ``∝ kappa`` via
+    gumbel-argmax, masked velocities in every rate/flow/jump evaluation.
+
+    ``mode``: ``"events"`` freezes a lane once ``cnt >= cap``; ``"horizon"``
+    additionally freezes once the committed event clock passes the runtime
+    scalar ``t_target`` (time-horizon sampling, ``sample.jl:323-439``).
     """
     G = n_grid - 1  # segments
     vect = kind in ("zigzag", "suzz")
+    if sticky and kind != "zigzag":
+        raise ValueError("the sticky kernel variant covers kind='zigzag' only")
     n_gc = len(grad_const_shapes)
     n_fc = len(flow_const_shapes)
 
-    def kernel(seed_ref, *refs):
+    def kernel(seed_ref, tt_ref, *refs):
         gc_refs = refs[:n_gc]
         fc_refs = refs[n_gc:n_gc + n_fc]
-        (x_ref, v_ref, fs_ref, is_ref, ring_ref,
-         x_out, v_out, fs_out, is_out, ring_out,
-         ev_kind, ev_x, ev_v, ev_fs, ev_ring) = refs[n_gc + n_fc:]
+        rest = refs[n_gc + n_fc:]
+        if sticky:
+            (x_ref, v_ref, fs_ref, is_ref, ring_ref, act_ref, kap_ref,
+             x_out, v_out, fs_out, is_out, ring_out, act_out,
+             ev_kind, ev_x, ev_v, ev_fs, ev_ring, ev_act) = rest
+        else:
+            (x_ref, v_ref, fs_ref, is_ref, ring_ref,
+             x_out, v_out, fs_out, is_out, ring_out,
+             ev_kind, ev_x, ev_v, ev_fs, ev_ring) = rest
         tile = pl.program_id(0)
         seed_val = seed_ref[0] + tile * 7919
+        t_target = tt_ref[0]
 
         def unpack(refs_, shapes):
             return tuple(
@@ -237,7 +260,11 @@ def _make_kernel(grad_vec: Callable, flow_vec: Callable, *, n_grid: int,
         ring = ring_ref[:]
         TB = x.shape[1]
         one = jnp.ones((TB,), dtype)
-
+        if sticky:
+            act0 = act_ref[:]          # (d, TB) 0/1 mask in state dtype
+            kappa = kap_ref[:]         # (d, 1) thaw rates
+        else:
+            act0 = None
 
         def signed_rates(xc, vc, t):
             """Per-dim signed rate along the flow: grad_like(x_t) * v_t."""
@@ -245,63 +272,81 @@ def _make_kernel(grad_vec: Callable, flow_vec: Callable, *, n_grid: int,
             return grad_fn(xt) * vt
 
         def body(k, carry):
-            x0, v0, fs, iscal, ring0 = carry
+            if sticky:
+                x0, v0, fs, iscal, ring0, act = carry
+                va = v0 * act
+            else:
+                x0, v0, fs, iscal, ring0 = carry
+                act = None
+                va = v0
             x, v, ring = x0, v0, ring0
             t_s, tc_s, ts_s = fs[F_T], fs[F_TC], fs[F_TS]
             h_s, bh_s, exp_s, ar_s = fs[F_H], fs[F_BH], fs[F_EXP], fs[F_AR]
-            mode, rej, err, hit = iscal[I_MODE], iscal[I_REJ], iscal[I_ERR], iscal[I_HIT]
+            tt_s = fs[F_TT]
+            mode_s, rej, err, hit = iscal[I_MODE], iscal[I_REJ], iscal[I_ERR], iscal[I_HIT]
             cnt = iscal[I_CNT]
-            live = cnt < cap  # frozen chains stop advancing (engine freeze)
-
-            # ---- envelope build on [0, bh] -------------------------------
-            # (2-D integer iota: Mosaic rejects 1-D and float iota)
-            fracs = (
-                jax.lax.broadcasted_iota(jnp.int32, (n_grid, 1), 0).astype(dtype)
-                / G
-            )
-            tis = bh_s[None, :] * fracs  # (n_grid, TB)
+            # frozen chains stop advancing (engine freeze); horizon mode
+            # also freezes once the committed clock passes t_target
+            live = cnt < cap
+            if mode == "horizon":
+                live = live & (t_s < t_target)
 
             if vect:
                 def f(t):
-                    r = signed_rates(x, v, t)
+                    r = signed_rates(x, va, t)
                     return r if signed else jnp.maximum(r, 0.0)
             else:  # scalar-dot rate (BPS/Boomerang): includes refresh
                    # inside, like the reference's closures
                    # (BouncyParticleSamplers.jl:39-47)
                 def f(t):
-                    xt, vt = flow_fn(x, v, t)
+                    xt, vt = flow_fn(x, va, t)
                     s = jnp.sum(grad_fn(xt) * vt, axis=0) + refresh_rate
                     return s if signed else jnp.maximum(s, 0.0)
 
-            vals, ders = jax.vmap(
-                lambda t: jax.jvp(f, (t,), (one,))
-            )(tis)  # (n_grid, d, TB) for zigzag; (n_grid, TB) for scalar
-
+            # ---- envelope build on [0, bh], streamed over grid points ----
+            # Only two grid points are live at a time (the (n_grid, d, TB)
+            # tensor of the naive build is the VMEM blow-up that kept
+            # large-d configs off the kernel); per-segment envelope =
+            # max{endpoints, clamped tangent intersection, 0} exactly as
+            # UpperBound.jl:123-131.
             step = bh_s / G
-            bstep = step.reshape((1,) * (vals.ndim - 1) + (TB,))
-            f0, f1 = vals[:-1], vals[1:]
-            g0, g1 = ders[:-1], ders[1:]
-            den = g1 - g0
-            num = f0 - f1 + g1 * bstep
-            ip = jnp.where(den == 0, 0.0, num / jnp.where(den == 0, 1.0, den))
-            ip = jnp.where(jnp.isnan(ip), 0.0, ip)
-            ip = jnp.clip(ip, 0.0, bstep)
-            inter = f0 + g0 * ip
-            box_nd = jnp.maximum(jnp.maximum(f0, f1), jnp.maximum(inter, 0.0))
-            # zigzag sums per-dim envelopes (no refresh, UpperBound.jl:246);
-            # the scalar grid path adds refresh on top (AbstractPDMP.jl:129,
-            # conservatively double-counting with the closure's own refresh,
-            # exactly like the reference — envelope slack is law-exact).
-            if vect:
-                box = jnp.sum(box_nd, axis=1) + refresh_rate  # (G, TB)
-            else:
-                box = box_nd + (refresh_rate if signed else 0.0)  # (G, TB)
+            box_rows = []
+            f_prev = g_prev = None
+            for j in range(n_grid):
+                t_j = step * j
+                f_j, g_j = jax.jvp(f, (t_j,), (one,))  # (d, TB) | (TB,)
+                if j > 0:
+                    bstep = step if f_j.ndim == 1 else step[None, :]
+                    den = g_j - g_prev
+                    num = f_prev - f_j + g_j * bstep
+                    ip = jnp.where(
+                        den == 0, 0.0, num / jnp.where(den == 0, 1.0, den)
+                    )
+                    ip = jnp.where(jnp.isnan(ip), 0.0, ip)
+                    ip = jnp.clip(ip, 0.0, bstep)
+                    inter = f_prev + g_prev * ip
+                    seg = jnp.maximum(
+                        jnp.maximum(f_prev, f_j), jnp.maximum(inter, 0.0)
+                    )
+                    # zigzag sums per-dim envelopes (no refresh,
+                    # UpperBound.jl:246); the scalar grid path adds refresh
+                    # on top (AbstractPDMP.jl:129, conservatively double-
+                    # counting with the closure's own refresh, exactly like
+                    # the reference — envelope slack is law-exact).
+                    if vect:
+                        seg = jnp.sum(seg, axis=0) + refresh_rate
+                    elif signed:
+                        seg = seg + refresh_rate
+                    box_rows.append(seg)
+                f_prev, g_prev = f_j, g_j
+            box = jnp.stack(box_rows, axis=0)  # (G, TB)
             seg_int = box * step[None, :]
             # unrolled prefix sum (Mosaic has no cumsum primitive; G is small)
             rows = [jnp.zeros((TB,), dtype)]
             for j in range(G):
                 rows.append(rows[-1] + seg_int[j])
             cum = jnp.stack(rows, axis=0)  # (n_grid, TB)
+            tis = None  # grid times recomputed below from step
 
             # ---- invert the envelope at exp_s (unrolled selects) ---------
             idx = jnp.sum((cum < exp_s[None, :]).astype(jnp.int32), axis=0)
@@ -312,40 +357,72 @@ def _make_kernel(grad_vec: Callable, flow_vec: Callable, *, n_grid: int,
                 sel = idx == j
                 lo, hi = cum[j - 1], cum[j]
                 denom = jnp.where(hi == lo, 1.0, hi - lo)
-                tpj = tis[j - 1] + (exp_s - lo) / denom * step
+                tpj = step * (j - 1) + (exp_s - lo) / denom * step
                 tp = jnp.where(sel, tpj, tp)
                 lam_bar = jnp.where(sel, box[j - 1], lam_bar)
 
-            fresh = mode == MODE_FRESH
-            erroneous = mode == MODE_ERRONEOUS
+            fresh = mode_s == MODE_FRESH
+            erroneous = mode_s == MODE_ERRONEOUS
             tp_safe = jnp.where(overflow, 0.0, tp)
 
             # ---- thinning evaluation at tp (unsigned true rate) ----------
             if vect:
-                lam_vec = jnp.maximum(signed_rates(x, v, tp_safe), 0.0)
+                lam_vec = jnp.maximum(signed_rates(x, va, tp_safe), 0.0)
                 lam_t = jnp.sum(lam_vec, axis=0)
             else:
-                xt_p, vt_p = flow_fn(x, v, tp_safe)
+                xt_p, vt_p = flow_fn(x, va, tp_safe)
                 lam_t = (
                     jnp.maximum(0.0, jnp.sum(grad_fn(xt_p) * vt_p, axis=0))
                     + refresh_rate
                 )
             ar_new = lam_t / lam_bar
 
-            beyond = overflow | (tp > h_s)
-            p_moveh = beyond & (~erroneous)
-            p_erreset = beyond & erroneous
-            p_ac = ~beyond
+            # ---- sticky: thaw clock + axis-crossing at fresh proposals ---
+            # (StickySamplingLoop.jl:33-56; the engine's flat equivalent in
+            # core/engine.py:131-160)
+            if sticky:
+                min_pt = jnp.minimum(tp, tt_s)
+                event_time = jnp.minimum(min_pt, h_s)
+                x_probe, _ = flow_fn(x, va, event_time)
+                any_crossing = jnp.sum(
+                    (x * x_probe < 0).astype(dtype), axis=0
+                ) > 0
+                v_safe = jnp.where(va == 0, 1.0, va)
+                tj = jnp.where(
+                    (act > 0) & (x * v < 0) & (va != 0), -x / v_safe, jnp.inf
+                )
+                t_togo = jnp.min(tj, axis=0)
+                i_stick = jnp.argmin(tj, axis=0)
+                crossed = fresh & any_crossing & jnp.isfinite(t_togo)
+            else:
+                min_pt = tp
+                crossed = jnp.zeros((TB,), bool)
+                t_togo = jnp.zeros((TB,), dtype)
+
+            # overflow lanes keep tp = inf, so min_pt > h covers them; for
+            # sticky lanes a thaw clock below the horizon must still thaw
+            # (engine.py:152-160)
+            beyond = min_pt > h_s
+            p_stick = crossed
+            p_moveh = (~crossed) & beyond & (~erroneous)
+            p_erreset = (~crossed) & beyond & erroneous
+            thin = (~crossed) & (~beyond)
+            if sticky:
+                p_thaw = thin & (tt_s <= tp)
+                p_ac = thin & (tp < tt_s)
+            else:
+                p_thaw = jnp.zeros((TB,), bool)
+                p_ac = thin
             p_err = p_ac & (ar_new > 1.0)
             p_proxy = p_ac & ~p_err
             # Per-transition randomness: pure threefry counters salted by the
             # loop index (Mosaic supports no dynamic_slice on values, and the
             # stateful TPU PRNG is unreliable inside lax loops).  Rows:
-            # zigzag: [exp, accept, d gumbels];
+            # zigzag: [exp, accept, d gumbels] (+ d thaw gumbels if sticky);
             # bps:    [exp, accept, bounce, 2d Box-Muller uniforms];
             # ecmc:   [exp, accept, rho1, rho2, mix, theta, 6d BM uniforms].
             if vect:
-                n_u = dim + 2
+                n_u = dim + 2 + (dim if sticky else 0)
             elif kind == "ecmc":
                 n_u = 6 + 6 * dim
             else:
@@ -360,13 +437,23 @@ def _make_kernel(grad_vec: Callable, flow_vec: Callable, *, n_grid: int,
             # flow_t == 0 is the identity for every flow (linear, elliptic,
             # speed-change), so unmoved lanes keep (x, v) exactly.
             flow_t = jnp.where(p_moveh, h_s, jnp.where(p_acc, tp_safe, 0.0))
-            x_new, v_flow = flow_fn(x, v, flow_t)
+            if sticky:
+                flow_t = jnp.where(
+                    p_stick, t_togo, jnp.where(p_thaw, tt_s, flow_t)
+                )
+            x_new, v_flow = flow_fn(x, va, flow_t)
+            if sticky:
+                # the flowed velocity is the masked one; the latent full
+                # velocity must survive (engine.py:185-188)
+                v_flow = v
 
             # ---- velocity jump -------------------------------------------
             if vect:
-                # gumbel-argmax coordinate flip over per-dim rates
-                rates_flip = jnp.maximum(grad_fn(x_new) * v_flow, 0.0)
-                u_g = u_row[2:]
+                # gumbel-argmax coordinate flip over per-dim rates (masked
+                # by activity for sticky runs — models/zigzag.py:67-78)
+                v_for_rate = v_flow * act if sticky else v_flow
+                rates_flip = jnp.maximum(grad_fn(x_new) * v_for_rate, 0.0)
+                u_g = u_row[2 : 2 + dim]
                 gumbel = -jnp.log(-jnp.log(u_g))
                 logits = jnp.where(
                     rates_flip > 0,
@@ -478,12 +565,52 @@ def _make_kernel(grad_vec: Callable, flow_vec: Callable, *, n_grid: int,
                 v_jumped = jnp.where(bounce, v_reflect, z)
                 v_new = jnp.where(p_acc[None, :], v_jumped, v_flow)
 
+            # ---- sticky activity updates ---------------------------------
+            if sticky:
+                iota_d = jax.lax.broadcasted_iota(jnp.int32, (dim, TB), 0)
+                stick_hot = iota_d == i_stick[None, :]
+                # thaw-coordinate choice ∝ kappa among frozen coordinates
+                # (StickySamplingLoop.jl:136-164) via gumbel-argmax
+                kap_b = jnp.broadcast_to(kappa, (dim, TB))
+                g_thaw = -jnp.log(-jnp.log(u_row[2 + dim : 2 + 2 * dim]))
+                logit_k = jnp.where(
+                    (act > 0) | (kap_b <= 0),
+                    -jnp.inf,
+                    jnp.log(jnp.where(kap_b > 0, kap_b, 1.0)),
+                )
+                i_thaw = jnp.argmax(logit_k + g_thaw, axis=0)
+                thaw_hot = iota_d == i_thaw[None, :]
+                act_new = jnp.where(
+                    stick_hot & p_stick[None, :],
+                    0.0,
+                    jnp.where(thaw_hot & p_thaw[None, :], 1.0, act),
+                )
+                # fresh thaw clock tt ~ Exp(1)/sum(kappa[frozen]) on the
+                # *updated* activity (engine.py:258)
+                rate_thaw = jnp.sum(kap_b * (1.0 - act_new), axis=0)
+                e_tt = _exponential(
+                    seed_val, jnp.uint32(0xC0000000) + jnp.uint32(k),
+                    (1, TB), dtype,
+                )[0]
+                tt_fresh = jnp.where(
+                    rate_thaw > 0,
+                    e_tt / jnp.where(rate_thaw > 0, rate_thaw, 1.0),
+                    jnp.inf,
+                )
+            else:
+                act_new = act
+
             # ---- time commitment (Kahan) ---------------------------------
             inc = tp_safe + ts_s
+            if sticky:
+                inc = (
+                    jnp.where(p_stick, t_togo, jnp.where(p_thaw, tt_s, tp_safe))
+                    + ts_s
+                )
             y = inc - tc_s
             s_sum = t_s + y
             tc_k = (s_sum - t_s) - y
-            is_event = p_acc
+            is_event = p_acc | p_stick | p_thaw
             t_new = jnp.where(is_event, s_sum, t_s)
             tc_new = jnp.where(is_event, tc_k, tc_s)
             ts_new = jnp.where(
@@ -514,7 +641,7 @@ def _make_kernel(grad_vec: Callable, flow_vec: Callable, *, n_grid: int,
             )
 
             # ---- proposal bookkeeping ------------------------------------
-            reset = p_moveh | p_erreset | p_acc
+            reset = p_stick | p_moveh | p_erreset | p_thaw | p_acc
             # full-tail Exp(1) clock (salt disjoint from the u_row stream)
             e_draw = _exponential(
                 seed_val, jnp.uint32(0x80000000) + jnp.uint32(k), (1, TB), dtype
@@ -526,10 +653,14 @@ def _make_kernel(grad_vec: Callable, flow_vec: Callable, *, n_grid: int,
             mode_new = jnp.where(
                 reset, MODE_FRESH,
                 jnp.where(p_err, MODE_ERRONEOUS,
-                          jnp.where(p_rej, MODE_REJECTED, mode)),
+                          jnp.where(p_rej, MODE_REJECTED, mode_s)),
             ).astype(jnp.int32)
             bh_new = jnp.where(reset, h_new, jnp.where(p_err, h_s * 0.5, bh_s))
             ar_state = jnp.where(p_ac, ar_new.astype(dtype), ar_s)
+            if sticky:
+                tt_new = jnp.where(reset, tt_fresh, tt_s)
+            else:
+                tt_new = tt_s
 
             # ---- emit the event stream row -------------------------------
             # ---- freeze finished chains ----------------------------------
@@ -537,6 +668,9 @@ def _make_kernel(grad_vec: Callable, flow_vec: Callable, *, n_grid: int,
             x_new = jnp.where(lv, x_new, x0)
             v_new = jnp.where(lv, v_new, v0)
             ring_new = jnp.where(lv, ring_new, ring0)
+            if sticky:
+                act_new = jnp.where(lv, act_new, act)
+                tt_new = jnp.where(live, tt_new, tt_s)
             t_new = jnp.where(live, t_new, t_s)
             tc_new = jnp.where(live, tc_new, tc_s)
             ts_new = jnp.where(live, ts_new, ts_s)
@@ -544,13 +678,21 @@ def _make_kernel(grad_vec: Callable, flow_vec: Callable, *, n_grid: int,
             bh_new = jnp.where(live, bh_new, bh_s)
             exp_new = jnp.where(live, exp_new, exp_s)
             ar_state = jnp.where(live, ar_state, ar_s)
-            mode_new = jnp.where(live, mode_new, mode)
+            mode_new = jnp.where(live, mode_new, mode_s)
             rej_new = jnp.where(live, rej_new, rej)
             err_new = jnp.where(live, err_new, err)
             hit_new = jnp.where(live, hit_new, hit)
             is_event = is_event & live
 
-            kval = jnp.where(is_event, EV_JUMP, EV_NONE).astype(jnp.int32)
+            if sticky:
+                kval = jnp.where(
+                    p_acc, EV_JUMP,
+                    jnp.where(p_stick, EV_STICK,
+                              jnp.where(p_thaw, EV_THAW, EV_NONE)),
+                )
+                kval = jnp.where(is_event, kval, EV_NONE).astype(jnp.int32)
+            else:
+                kval = jnp.where(is_event, EV_JUMP, EV_NONE).astype(jnp.int32)
             cnt_new = cnt + (kval > 0).astype(jnp.int32)
             # rows of the kind block: [kind, rejected, errored, hitting]
             ev_kind[k] = jnp.stack([kval, rej_new, err_new, hit_new], axis=0)
@@ -561,6 +703,8 @@ def _make_kernel(grad_vec: Callable, flow_vec: Callable, *, n_grid: int,
             # makes the dense row stream a valid skeleton (engine.py).
             ev_fs[k] = jnp.stack([t_new + ts_new, h_new, ar_state], axis=0)
             ev_ring[k] = ring_new
+            if sticky:
+                ev_act[k] = act_new
 
             # counters reset after a recorded event
             zero = jnp.zeros((TB,), jnp.int32)
@@ -570,16 +714,25 @@ def _make_kernel(grad_vec: Callable, flow_vec: Callable, *, n_grid: int,
             ring_new = jnp.where(is_event[None, :], jnp.zeros_like(ring_new), ring_new)
 
             fs_new = jnp.stack(
-                [t_new, tc_new, ts_new, h_new, bh_new, exp_new, ar_state], axis=0
+                [t_new, tc_new, ts_new, h_new, bh_new, exp_new, ar_state,
+                 tt_new], axis=0
             )
             is_new = jnp.stack(
                 [mode_new, rej_new, err_new, hit_new, cnt_new], axis=0
             )
+            if sticky:
+                return x_new, v_new, fs_new, is_new, ring_new, act_new
             return x_new, v_new, fs_new, is_new, ring_new
 
-        x, v, fs, iscal, ring = jax.lax.fori_loop(
-            0, K, body, (x, v, fs, iscal, ring)
-        )
+        if sticky:
+            x, v, fs, iscal, ring, act_fin = jax.lax.fori_loop(
+                0, K, body, (x, v, fs, iscal, ring, act0)
+            )
+            act_out[:] = act_fin
+        else:
+            x, v, fs, iscal, ring = jax.lax.fori_loop(
+                0, K, body, (x, v, fs, iscal, ring)
+            )
         x_out[:] = x
         v_out[:] = v
         fs_out[:] = fs
@@ -605,12 +758,15 @@ def _normalize_consts(consts):
     jax.jit,
     static_argnames=("grad_vec", "flow_vec", "n_grid", "K", "adaptive",
                      "signed", "refresh_rate", "cap", "tile", "interpret",
-                     "kind", "gaussian_velocity", "ecmc_params"),
+                     "kind", "gaussian_velocity", "ecmc_params", "sticky",
+                     "mode"),
 )
 def run_chunk(seed, x, v, fs, iscal, ring, *, grad_vec, flow_vec, n_grid, K,
               adaptive, signed, refresh_rate, cap, tile=512, interpret=False,
               kind="zigzag", gaussian_velocity=False, ecmc_params=(),
-              grad_consts=(), flow_consts=()):
+              grad_consts=(), flow_consts=(),
+              sticky=False, act=None, kappa=None,
+              mode="events", t_target=None):
     """Run one fused chunk of ``K`` transitions.
 
     Inputs are kernel-layout: ``x``/``v`` ``(d, B)``, ``fs`` ``(NF, B)``,
@@ -618,9 +774,18 @@ def run_chunk(seed, x, v, fs, iscal, ring, *, grad_vec, flow_vec, n_grid, K,
     ``grad_consts``/``flow_consts``: arrays hoisted out of the user gradient
     / flow by ``driver._hoist_consts``; ``grad_vec``/``flow_vec`` must accept
     them as trailing arguments.
+
+    Sticky runs (``sticky=True``, ``kind="zigzag"``) additionally take the
+    ``(d, B)`` activity mask ``act`` (0/1 in the state dtype) and the
+    ``(d, 1)`` thaw-rate vector ``kappa``, and return ``act`` plus a
+    per-transition ``(K, d, B)`` activity stream appended to the outputs.
+
+    ``mode="horizon"`` freezes lanes whose committed clock passed the
+    runtime scalar ``t_target`` (pass ``jnp.inf`` / ``None`` otherwise).
+
     Returns updated state plus the per-transition event stream
     ``(kind_i32 (K, 4, B), x (K, d, B), v (K, d, B), fs (K, 3, B),
-    ring (K, 5, B))`` where the kind block rows are
+    ring (K, 5, B)[, act (K, d, B)])`` where the kind block rows are
     ``[kind, rejected, errored, hitting]``.
     """
     d, B = x.shape
@@ -639,6 +804,7 @@ def run_chunk(seed, x, v, fs, iscal, ring, *, grad_vec, flow_vec, n_grid, K,
         kind=kind, gaussian_velocity=gaussian_velocity,
         ecmc_params=ecmc_params,
         grad_const_shapes=grad_shapes, flow_const_shapes=flow_shapes,
+        sticky=sticky, mode=mode,
     )
 
     def col_spec(rows):
@@ -649,18 +815,34 @@ def run_chunk(seed, x, v, fs, iscal, ring, *, grad_vec, flow_vec, n_grid, K,
         return pl.BlockSpec((K, rows, tile), lambda i: (0, 0, i),
                             memory_space=pltpu.VMEM)
 
-    out_shape = (
+    out_shape = [
         jax.ShapeDtypeStruct((d, B), dtype),           # x
         jax.ShapeDtypeStruct((d, B), dtype),           # v
         jax.ShapeDtypeStruct((NF, B), dtype),          # fs
         jax.ShapeDtypeStruct((NI, B), jnp.int32),      # iscal
         jax.ShapeDtypeStruct((ERROR_RING_SIZE, B), dtype),  # ring
+    ]
+    out_specs = [
+        col_spec(d), col_spec(d), col_spec(NF), col_spec(NI),
+        col_spec(ERROR_RING_SIZE),
+    ]
+    if sticky:
+        out_shape.append(jax.ShapeDtypeStruct((d, B), dtype))  # act
+        out_specs.append(col_spec(d))
+    out_shape += [
         jax.ShapeDtypeStruct((K, 4, B), jnp.int32),    # ev kind+counters
         jax.ShapeDtypeStruct((K, d, B), dtype),        # ev x
         jax.ShapeDtypeStruct((K, d, B), dtype),        # ev v
         jax.ShapeDtypeStruct((K, 3, B), dtype),        # ev t,h,ar
         jax.ShapeDtypeStruct((K, ERROR_RING_SIZE, B), dtype),  # ev ring
-    )
+    ]
+    out_specs += [
+        ev_spec(4), ev_spec(d), ev_spec(d), ev_spec(3),
+        ev_spec(ERROR_RING_SIZE),
+    ]
+    if sticky:
+        out_shape.append(jax.ShapeDtypeStruct((K, d, B), dtype))  # ev act
+        out_specs.append(ev_spec(d))
     const_specs = [
         pl.BlockSpec(
             c.shape,
@@ -670,26 +852,34 @@ def run_chunk(seed, x, v, fs, iscal, ring, *, grad_vec, flow_vec, n_grid, K,
         )
         for c in consts2d
     ]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # t_target (1,)
+        *const_specs,
+        col_spec(d), col_spec(d), col_spec(NF), col_spec(NI),
+        col_spec(ERROR_RING_SIZE),
+    ]
+    args = [x, v, fs, iscal, ring]
+    if sticky:
+        kap2d = jnp.asarray(kappa, dtype).reshape(d, 1)
+        in_specs.append(col_spec(d))   # act
+        in_specs.append(
+            pl.BlockSpec((d, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )                               # kappa, every tile sees all of it
+        args += [act.astype(dtype), kap2d]
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
-            *const_specs,
-            col_spec(d), col_spec(d), col_spec(NF), col_spec(NI),
-            col_spec(ERROR_RING_SIZE),
-        ],
-        out_specs=(
-            col_spec(d), col_spec(d), col_spec(NF), col_spec(NI),
-            col_spec(ERROR_RING_SIZE),
-            ev_spec(4), ev_spec(d), ev_spec(d), ev_spec(3),
-            ev_spec(ERROR_RING_SIZE),
-        ),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
     )
+    if t_target is None:
+        t_target = jnp.inf
     interp = pltpu.InterpretParams() if interpret else False
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=out_shape,
+        out_shape=tuple(out_shape),
         interpret=interp,
-    )(jnp.reshape(jnp.asarray(seed, jnp.int32), (1,)), *consts2d,
-      x, v, fs, iscal, ring)
+    )(jnp.reshape(jnp.asarray(seed, jnp.int32), (1,)),
+      jnp.reshape(jnp.asarray(t_target, jnp.float32), (1,)),
+      *consts2d, *args)

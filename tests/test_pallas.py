@@ -132,7 +132,8 @@ def test_supports_pallas_gating():
     assert pdrv.kernel_kind(pf.ForwardECMC(4, lambda x: x)) == "ecmc"
     # constant-bound samplers map onto the kernel's PALLAS_CONST_GRID envelope
     assert pdrv.supports_pallas(pf.ZigZag(4, lambda x: x, grid_size=0))
-    assert not pdrv.supports_pallas(pf.StickyZigZag(4, lambda x: x))
+    # sticky Zig-Zag is covered since round 2 (activity mask in-kernel)
+    assert pdrv.kernel_kind(pf.StickyZigZag(4, lambda x: x)) == "zigzag"
     assert not pdrv.supports_pallas(pf.RHMC(4, lambda x: x))
     with pytest.raises(ValueError):
         pf.sample_skeleton(
