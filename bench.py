@@ -6,10 +6,15 @@ production TPU path — the fused Pallas transition kernel with dense stream
 recording (``ops/pallas/driver.py``; falls back to the XLA stream engine
 off-TPU).  Posterior moments are validated on-device in the same run.
 
-``vs_baseline``: the reference publishes no absolute numbers (BASELINE.md);
-its only hard performance statement is the CI guardrail "1000 events in
-< 30 s" (``test/test_performance.jl:34-43``), i.e. >= 33.3 events/s.  We
-report our aggregate per-chip throughput relative to that floor.
+``vs_baseline``: the reference publishes no absolute numbers (BASELINE.md),
+so the anchor is MEASURED in the same process: the B=1 single-chain
+throughput of this same framework on the same config — the closest
+defensible stand-in for a single-node single-chain run (the reference's
+Julia implementation is ~4x slower than its JAX equivalent per
+``/root/reference/README.md:169``, so this anchor is, if anything,
+generous to the reference).  ``vs_baseline`` = aggregate per-chip
+throughput / single-chain throughput, i.e. the per-chip parallel speedup a
+reference user gains by switching.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -82,6 +87,29 @@ def main():
     total_events = int(np.asarray(jax.device_get(res.counts)).sum())
     events_per_sec = total_events / wall
 
+    # measured single-chain anchor (B=1 never fills a kernel tile; it runs
+    # the XLA stream engine, like any single-chain user workload would)
+    anchor_events = min(n_events, 2048)
+    s1 = pf.ZigZag(dim, lambda x: x)
+    run1 = jax.jit(engine.make_stream_runner(s1, 2 * anchor_events, chunk=64),
+                   static_argnums=(3,))
+
+    def go1(seed):
+        st = s1.init_state_batch(
+            np.zeros((1, dim)), np.ones((1, dim)), seed, dtype=dtype
+        )
+        stream = engine.empty_stream(2 * anchor_events, dim, dtype, 1)
+        res1 = run1(st, stream, jnp.zeros((1,), jnp.int32), anchor_events)
+        return int(jax.device_get(jnp.sum(res1.counts)))
+
+    go1(0)  # warmup/compile
+    wall1 = float("inf")
+    for rep in (1, 2):
+        t0 = time.perf_counter()
+        n1 = go1(rep)
+        wall1 = min(wall1, time.perf_counter() - t0)
+    single_chain_eps = n1 / wall1
+
     # Posterior-moment sanity on the same run (speed without correctness is
     # meaningless): interpolate directly on the stream.
     mean, var = pooled_moments(res.stream, sampler, 256)
@@ -89,18 +117,18 @@ def main():
     mean_ok = bool(np.all(np.abs(np.asarray(mean)) < 0.2))
     var_ok = bool(np.all(np.abs(np.asarray(var) - 1.0) < 0.3))
 
-    baseline_floor = 1000.0 / 30.0  # reference CI guardrail, events/s
     out = {
         "metric": "zigzag_gauss10d_events_per_sec_per_chip",
         "value": round(events_per_sec, 1),
         "unit": "events/s",
-        "vs_baseline": round(events_per_sec / baseline_floor, 1),
+        "vs_baseline": round(events_per_sec / single_chain_eps, 1),
     }
     print(json.dumps(out))
     print(
         f"# platform={platform} path={path} B={B} n_events={n_events} "
         f"wall={wall:.3f}s transitions={tr} complete={complete} "
-        f"moments_ok={mean_ok and var_ok}",
+        f"moments_ok={mean_ok and var_ok} "
+        f"single_chain_anchor={single_chain_eps:.1f} events/s",
         file=sys.stderr,
     )
 

@@ -1,0 +1,58 @@
+"""Multi-process smoke test for ``parallel.distributed`` (VERDICT.md item 6).
+
+Spawns two real OS processes that form a ``jax.distributed`` group on the
+CPU backend (4 fake devices each -> an 8-device global mesh), exercise
+``initialize``, ``global_mesh``, ``process_local_chain_slice`` and the
+cross-host ``host_all_gather_stats`` reduction, then exit.  Skipped when the
+environment cannot form the group (no gloo CPU collectives).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "distributed_worker.py")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.extended
+def test_two_process_group():
+    port = _free_port()
+    coordinator = f"127.0.0.1:{port}"
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, coordinator, "2", str(p)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True,
+        )
+        for p in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("distributed workers timed out:\n" + "\n".join(outs))
+    codes = [p.returncode for p in procs]
+    combined = "\n".join(outs)
+    if any(codes) and (
+        "gloo" in combined.lower() or "collectives" in combined.lower()
+        or "UNIMPLEMENTED" in combined
+    ):
+        pytest.skip("CPU cross-process collectives unavailable:\n" + combined[-500:])
+    assert codes == [0, 0], combined
+    assert "worker 0 OK" in combined and "worker 1 OK" in combined
