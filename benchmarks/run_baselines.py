@@ -49,7 +49,11 @@ def _run_once(pf, sampler, n_ev, x0, v0, seed, kw):
     return skel, wall, events
 
 
-def main(quick: bool = False, only=None):
+def _log(msg):
+    print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def main(quick: bool = False, only=None, scale: int | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -62,7 +66,8 @@ def main(quick: bool = False, only=None):
     from pdmpflux_tpu.utils import potentials
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    scale = 1 if (on_tpu and not quick) else 8
+    if scale is None:
+        scale = 1 if (on_tpu and not quick) else 8
 
     def banana_grad(x):
         m = x[0] ** 2 - 1
@@ -97,6 +102,7 @@ def main(quick: bool = False, only=None):
                  1000, potentials.gauss, np.full(1000, 10.0)),
              B=128 // max(scale // 4, 1), n_ev=8192 // scale, truth=None),
     ]
+    all_names = list(configs)
     if only:
         configs = [c for c in configs if c["name"] in only]
 
@@ -116,12 +122,15 @@ def main(quick: bool = False, only=None):
         backend = "auto" if on_tpu else "xla"
         kw = dict(dtype=jnp.float32, backend=backend)
 
+        _log(f"{cfg['name']}: B={B} n_ev={n_ev} warmup/compile...")
         _run_once(pf, sampler, n_ev, x0, v0, 0, kw)  # warmup/compile
+        _log(f"{cfg['name']}: timed run...")
         skel, wall, events = _run_once(pf, sampler, n_ev, x0, v0, 1, kw)
         ev_s = events / wall
 
         # single-chain anchor: same config at B=1 (fresh sampler, XLA path —
         # one chain never fills a kernel tile)
+        _log(f"{cfg['name']}: single-chain anchor...")
         anchor_ev = min(n_ev, 1024)
         s1 = cfg["make"]()
         kw1 = dict(dtype=jnp.float32, backend=backend)
@@ -130,6 +139,7 @@ def main(quick: bool = False, only=None):
         ev_s_single = events1 / wall1
 
         # ESS/s over ALL coordinates with split-R-hat gating
+        _log(f"{cfg['name']}: ESS/moments...")
         n_per = min(2048, 4 * n_ev)
         smp = np.asarray(sample_from_skeleton_batch(sampler, n_per, skel))
         summ = ess_summary(smp, rhat_threshold=1.02)
@@ -175,14 +185,29 @@ def main(quick: bool = False, only=None):
 
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "baseline_results.json")
+    # Merge with prior results (per-config runs update their own row only).
+    merged = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                merged = {r["config"]: r for r in json.load(f)}
+        except Exception:
+            merged = {}
+    merged.update({r["config"]: r for r in results})
+    order = [c["name"] for c in all_names]
+    rows = sorted(merged.values(), key=lambda r: order.index(r["config"])
+                  if r["config"] in order else 99)
     with open(out_path, "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump(rows, f, indent=1)
     print(f"# wrote {out_path}", file=sys.stderr)
 
 
 if __name__ == "__main__":
     only = None
+    scale = None
     for a in sys.argv[1:]:
         if a.startswith("--configs"):
             only = a.split("=", 1)[1].split(",")
-    main(quick="--quick" in sys.argv, only=only)
+        if a.startswith("--scale"):
+            scale = int(a.split("=", 1)[1])
+    main(quick="--quick" in sys.argv, only=only, scale=scale)

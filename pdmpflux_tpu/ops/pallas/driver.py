@@ -51,6 +51,17 @@ def kernel_kind(sampler):
 
     ``grid_size == 0`` (constant-bound) samplers map onto the same kernel
     with a ``PALLAS_CONST_GRID``-point grid envelope (see its docstring).
+
+    **RHMC is deliberately excluded** (returns None): its velocity-Verlet
+    flow (``RandomizedHamiltonianMonteCarlo.jl:97-130``) takes a
+    data-dependent number of integrator steps *per flow evaluation* —
+    ``floor(t / step_size)`` whole steps plus a remainder — so a fused
+    fixed-chunk kernel would have to run every lane at the worst-case step
+    count for every transition.  RHMC also has no thinning loop at all
+    (constant rate, acceptance ≡ 1), so the envelope machinery the kernel
+    fuses is dead weight for it.  It runs on the XLA stream engine, where
+    the Verlet inner loop is a ``lax.while_loop``; the measured TPU number
+    is in ``benchmarks/baseline_results.json`` (config ``rhmc_gauss_d10``).
     """
     from ...models.boomerang import Boomerang
     from ...models.bps import BPS

@@ -32,6 +32,17 @@ def funnel(x):
     return v**2 / 2.0 + (d - 1) * jnp.log(v) + jnp.sum(x[1:] ** 2) / (2.0 * v**2)
 
 
+def neal_funnel(x):
+    """Neal's funnel as used by ``test_coverage.jl:66-75``: ``x[0] ~ N(0, 9)``
+    and ``x[1:] | x[0] ~ N(0, exp(x[0]) I)``.  Valid on all of R^d (unlike
+    :func:`funnel`, which needs ``x[0] > 0``)."""
+    d = x.shape[0]
+    v = x[0]
+    return (v * v / 18.0
+            + 0.5 * (d - 1) * v
+            + 0.5 * jnp.sum(x[1:] ** 2) * jnp.exp(-v))
+
+
 def ridged_gauss(x):
     """Gaussian with sinusoidal ridges, ``test_config.jl:44-46``."""
     return jnp.sum(x * x) / 2.0 + 0.1 * jnp.sum(jnp.sin(10.0 * x))

@@ -35,6 +35,24 @@ def test_funnel_target_end_to_end():
     assert np.all(smp[:, 0] > 0)  # stays in the funnel's support
 
 
+@pytest.mark.parametrize(
+    "name,U,dim",
+    [
+        ("neal_funnel", potentials.neal_funnel, 3),
+        ("ridged_gauss", potentials.ridged_gauss, 2),
+        ("banana", potentials.banana, 3),
+    ],
+)
+def test_complex_potential_coverage(name, U, dim):
+    # Mirrors the reference's complex-potential trio, test_coverage.jl:81-98:
+    # constant-bound ZigZagAD, 100 events, finiteness.
+    sampler = pf.ZigZagAD(dim, U, grid_size=0)
+    skel = pf.sample_skeleton(sampler, 100, np.zeros(dim), np.ones(dim), seed=42)
+    t = np.asarray(skel.t)
+    assert t.size > 0 and np.all(np.isfinite(t))
+    assert np.all(np.isfinite(np.asarray(skel.x)))
+
+
 def test_plot_traj_overlay_ax():
     import matplotlib
 
