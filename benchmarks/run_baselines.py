@@ -81,13 +81,17 @@ def main(quick: bool = False, only=None, scale: int | None = None):
              make=lambda: pf.ZigZagAD(10, potentials.gauss),
              B=4096 // scale, n_ev=2048 // scale,
              truth=(np.zeros(10), np.ones(10))),
+        # Banana truth: x0 ~ N(0,1); x1 = x0^2 - 1 + N(0,1) so E=0,
+        # Var = Var(x0^2) + 1 = 3; higher coords standard normal.
         dict(name="zigzag_banana_d50_constbound", dim=50,
              make=lambda: pf.ZigZag(50, banana_grad, grid_size=0),
-             B=512 // scale, n_ev=2048 // scale, truth=None),
+             B=512 // scale, n_ev=8192 // scale,
+             truth=(np.zeros(50),
+                    np.concatenate([[1.0, 3.0], np.ones(48)]))),
         dict(name="bps_anisotropic_gauss_d10", dim=10,
              make=lambda: pf.BPSAD(10, potentials.anisotropic_gauss(
                  np.linspace(0.5, 3.0, 10)), refresh_rate=0.5),
-             B=512 // scale, n_ev=1024 // scale,
+             B=512 // scale, n_ev=4096 // scale,
              truth=(np.zeros(10), np.linspace(0.5, 3.0, 10) ** 2)),
         dict(name="boomerang_gauss_d10", dim=10,
              make=lambda: pf.Boomerang(10, lambda x: x, refresh_rate=0.5),

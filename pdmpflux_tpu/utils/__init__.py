@@ -1,3 +1,3 @@
-from . import potentials
+from . import potentials, profiling
 
-__all__ = ["potentials"]
+__all__ = ["potentials", "profiling"]

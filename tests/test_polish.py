@@ -198,3 +198,30 @@ def test_split_rhat_and_summary():
     s2 = diagnostics.ess_summary(bad)
     assert not s2["converged"]
     assert s2["rhat_max"] > 1.5
+
+
+def test_profiling_timed_and_annotate():
+    # SURVEY §5 profiling hooks: compile-aware timing + trace annotation.
+    from pdmpflux_tpu.utils import profiling
+
+    import jax
+
+    @jax.jit
+    def f(x):
+        return (x * x).sum()
+
+    r = profiling.timed(f, jnp.arange(8.0), repeats=3)
+    assert r["first_call_s"] >= r["steady_state_s"] >= 0
+    assert r["compile_overhead_s"] >= 0
+    assert float(r["result"]) == float((np.arange(8.0) ** 2).sum())
+    with profiling.annotate("unit-test-span"):
+        pass
+
+
+def test_profiling_trace_writes(tmp_path):
+    from pdmpflux_tpu.utils import profiling
+
+    logdir = tmp_path / "trace"
+    with profiling.trace(str(logdir)):
+        jnp.ones(4).sum().block_until_ready()
+    assert any(logdir.rglob("*"))  # trace artifacts were written
