@@ -91,7 +91,7 @@ def main(quick: bool = False, only=None, scale: int | None = None):
         dict(name="bps_anisotropic_gauss_d10", dim=10,
              make=lambda: pf.BPSAD(10, potentials.anisotropic_gauss(
                  np.linspace(0.5, 3.0, 10)), refresh_rate=0.5),
-             B=512 // scale, n_ev=4096 // scale,
+             B=512 // scale, n_ev=8192 // scale,
              truth=(np.zeros(10), np.linspace(0.5, 3.0, 10) ** 2)),
         dict(name="boomerang_gauss_d10", dim=10,
              make=lambda: pf.Boomerang(10, lambda x: x, refresh_rate=0.5),

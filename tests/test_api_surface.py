@@ -197,6 +197,7 @@ def test_finitediff_backend_kwarg():
 # plotting: fading-tail animation
 # ---------------------------------------------------------------------------
 
+@pytest.mark.extended
 def test_anim_traj_fading_tail(tmp_path):
     s = pf.ZigZagAD(2, lambda x: jnp.sum(x * x) / 2)
     skel = pf.sample_skeleton(s, 40, np.zeros(2), np.ones(2), seed=5)

@@ -13,6 +13,9 @@ import numpy as np
 import pytest
 
 import pdmpflux_tpu as pf
+
+# Kernel-vs-XLA distributional suite: slow; quick tier keeps the interpret-mode smoke in test_stream.py.
+pytestmark = pytest.mark.extended
 from pdmpflux_tpu.core import engine
 from pdmpflux_tpu.core.types import EV_INIT, empty_skeleton
 from pdmpflux_tpu.ops.pallas import driver as pdrv

@@ -11,6 +11,9 @@ import jax.numpy as jnp
 import pytest
 
 import pdmpflux_tpu as pf
+
+# Sticky-kernel distributional suite: slow; quick tier keeps test_sticky.py.
+pytestmark = pytest.mark.extended
 from pdmpflux_tpu import api
 from pdmpflux_tpu.core import engine
 from pdmpflux_tpu.ops.pallas import driver as pdrv

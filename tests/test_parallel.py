@@ -25,6 +25,7 @@ def test_eight_devices_available():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.extended
 def test_sharded_chains_run_and_reduce(sampler):
     B = 32
     mesh = mesh_lib.make_mesh(8, 1)

@@ -72,6 +72,7 @@ def test_plot_U_contour():
 
 
 @pytest.mark.skipif(SKIP_GIF, reason="GIF rendering disabled")
+@pytest.mark.extended
 def test_anim_traj_gif(skel2d, tmp_path):
     _, skel = skel2d
     out = str(tmp_path / "traj.gif")

@@ -78,6 +78,7 @@ def test_plot_traj_overlay_ax():
     plt.close(fig2)
 
 
+@pytest.mark.extended
 def test_kernel_exponential_full_tail():
     """The two-word exponential reaches past the 24-bit truncation point
     (~16.6) and keeps the right distribution."""
@@ -139,6 +140,7 @@ def test_with_diagnostic_batched_chains():
     assert abs(rv0 - rvs[0]) < 1e-6
 
 
+@pytest.mark.extended
 def test_host_acc_stream_equals_device_acc(monkeypatch):
     """The vectorized host-accumulation assembly must produce exactly the
     same skeleton as the on-device accumulation path."""
@@ -225,3 +227,10 @@ def test_profiling_trace_writes(tmp_path):
     with profiling.trace(str(logdir)):
         jnp.ones(4).sum().block_until_ready()
     assert any(logdir.rglob("*"))  # trace artifacts were written
+
+
+def test_device_bytes_budget_env_override(monkeypatch):
+    monkeypatch.setenv("PDMPFLUX_DEVICE_BYTES", str(123 << 20))
+    assert api._device_bytes_budget() == 123 << 20
+    monkeypatch.delenv("PDMPFLUX_DEVICE_BYTES")
+    assert api._device_bytes_budget() > (1 << 30)  # sane floor on any backend
