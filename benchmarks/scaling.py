@@ -1,0 +1,116 @@
+"""Scaling sweep (BASELINE.md last row: "1 chip -> 1 host -> N hosts").
+
+Two axes, honestly labeled for the hardware actually available:
+
+1. **Chain-batch scaling on the real device** (the per-chip axis): flagship
+   config (ZigZag, 10-d Gaussian) at B = 1 .. 8192, events/s and parallel
+   efficiency vs B=1.  This is the axis that matters on TPU — PDMP chains
+   are embarrassingly parallel, so per-chip batch saturation IS the
+   single-chip scaling story.
+
+2. **Device-mesh scaling** via ``sample_skeleton_sharded`` over a
+   ``chains`` mesh axis at n = 1, 2, 4, 8 devices (real devices when a
+   multi-chip slice is attached; the 8-virtual-device CPU mesh otherwise —
+   the standard JAX fake-device trick, marked ``platform: "cpu"`` in the
+   output so nobody mistakes it for silicon).  Fixed per-device load (weak
+   scaling): aggregate events/s should grow ~linearly since chains need
+   zero inter-device communication (collectives touch only the reduced
+   diagnostics).
+
+Writes ``benchmarks/scaling_results.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _flagship(pf):
+    return pf.ZigZag(10, lambda x: x)
+
+
+def batch_scaling(pf, jnp, jax, n_ev=1024):
+    rows = []
+    for B in (1, 64, 512, 2048, 8192):
+        sampler = _flagship(pf)
+        x0, v0 = np.zeros((B, 10)), np.ones((B, 10))
+        kw = dict(dtype=jnp.float32,
+                  backend="auto" if jax.devices()[0].platform == "tpu" else "xla")
+        pf.sample_skeleton(sampler, n_ev, x0, v0, seed=0, **kw)  # compile
+        t0 = time.perf_counter()
+        skel = pf.sample_skeleton(sampler, n_ev, x0, v0, seed=1, **kw)
+        total = int(np.asarray(skel.n_valid).sum()) - B
+        wall = time.perf_counter() - t0
+        rows.append({
+            "axis": "chain_batch", "platform": jax.devices()[0].platform,
+            "B": B, "events_per_chain": n_ev,
+            "events_per_sec": round(total / wall, 1),
+            "wall_s": round(wall, 3),
+        })
+        print(json.dumps(rows[-1]), flush=True)
+    base = rows[0]["events_per_sec"]
+    for r in rows:
+        r["speedup_vs_B1"] = round(r["events_per_sec"] / base, 1)
+    return rows
+
+
+def mesh_scaling(pf, jnp, jax, n_ev=512, per_dev=256):
+    from pdmpflux_tpu.parallel import make_mesh
+    from pdmpflux_tpu.parallel.sharded import sample_skeleton_sharded
+
+    rows = []
+    avail = len(jax.devices())
+    for n in (1, 2, 4, 8):
+        if n > avail:
+            break
+        mesh = make_mesh(n)
+        B = per_dev * n
+        sampler = _flagship(pf)
+        x0, v0 = np.zeros((B, 10)), np.ones((B, 10))
+        sample_skeleton_sharded(sampler, n_ev, x0, v0, seed=0, mesh=mesh,
+                                dtype=jnp.float32)  # compile
+        t0 = time.perf_counter()
+        run = sample_skeleton_sharded(sampler, n_ev, x0, v0, seed=1, mesh=mesh,
+                                      dtype=jnp.float32)
+        total = int(run.stats["events"]) - B
+        wall = time.perf_counter() - t0
+        rows.append({
+            "axis": "device_mesh", "platform": jax.devices()[0].platform,
+            "n_devices": n, "chains_per_device": per_dev,
+            "events_per_chain": n_ev,
+            "events_per_sec": round(total / wall, 1),
+            "wall_s": round(wall, 3),
+        })
+        print(json.dumps(rows[-1]), flush=True)
+    if rows:
+        per_dev_base = rows[0]["events_per_sec"]
+        for r in rows:
+            ideal = per_dev_base * r["n_devices"]
+            r["weak_scaling_efficiency"] = round(r["events_per_sec"] / ideal, 3)
+    return rows
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import pdmpflux_tpu as pf
+
+    rows = batch_scaling(pf, jnp, jax)
+    rows += mesh_scaling(pf, jnp, jax)
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "scaling_results.json")
+    with open(out, "w") as f:
+        json.dump(rows, f, indent=1)
+    print(f"# wrote {out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
