@@ -83,9 +83,12 @@ def main(quick: bool = False, only=None, scale: int | None = None):
              truth=(np.zeros(10), np.ones(10))),
         # Banana truth: x0 ~ N(0,1); x1 = x0^2 - 1 + N(0,1) so E=0,
         # Var = Var(x0^2) + 1 = 3; higher coords standard normal.
+        # The banana's curved ridge mixes slowly; split-R-hat needs long
+        # chains, so fewer chains x more events (B halved, n_ev doubled
+        # keeps the accumulator on-device).
         dict(name="zigzag_banana_d50_constbound", dim=50,
              make=lambda: pf.ZigZag(50, banana_grad, grid_size=0),
-             B=512 // scale, n_ev=8192 // scale,
+             B=256 // scale, n_ev=16384 // scale,
              truth=(np.zeros(50),
                     np.concatenate([[1.0, 3.0], np.ones(48)]))),
         dict(name="bps_anisotropic_gauss_d10", dim=10,
@@ -101,14 +104,15 @@ def main(quick: bool = False, only=None, scale: int | None = None):
              make=lambda: pf.RHMCAD(10, potentials.gauss, refresh_rate=1.0),
              B=512 // scale, n_ev=1024 // scale,
              truth=(np.zeros(10), np.ones(10))),
-        # B/n_ev sized so the on-device skeleton accumulator (~8.5 GB at
-        # B=128, n_ev=2048, d=1000) stays inside a v5e's 16 GB HBM — the
-        # host-accumulation fallback is catastrophic through the
-        # remote-dispatch tunnel (one multi-GB transfer per stream fill).
+        # B/n_ev sized so the on-device skeleton accumulator (~4-6 GB at
+        # B=64, n_ev=2048, d=1000, XLA stream loop-carry double-buffering
+        # included) stays inside a v5e's 16 GB HBM — the host-accumulation
+        # fallback is catastrophic through the remote-dispatch tunnel (one
+        # multi-GB transfer per stream fill).
         dict(name="sticky_zigzag_d1000", dim=1000,
              make=lambda: pf.StickyZigZagAD(
                  1000, potentials.gauss, np.full(1000, 10.0)),
-             B=128 // max(scale // 4, 1), n_ev=2048 // scale, truth=None),
+             B=64 // max(scale // 4, 1), n_ev=2048 // scale, truth=None),
     ]
     all_names = list(configs)
     if only:
@@ -193,6 +197,15 @@ def main(quick: bool = False, only=None, scale: int | None = None):
             nv = np.asarray(skel.n_valid)
             last = act[np.arange(B), np.maximum(nv - 1, 0)]
             row["frozen_frac_final"] = round(float(1.0 - last.mean()), 4)
+            row["note"] = (
+                "throughput config: ~2 events/coordinate at dim 1000, and "
+                "the spike-and-slab target is per-coordinate multimodal, so "
+                "rhat/ESS/moments are not converged estimates here (the "
+                "reference's own dim-1000 sticky test checks only that "
+                "freezing occurs, test_coverage.jl:254-292; sticky "
+                "posterior-mass correctness is asserted by "
+                "tests/test_sticky.py::test_spike_mass_matches_theory)"
+            )
         print(json.dumps(row), flush=True)
         results.append(row)
 
