@@ -208,6 +208,15 @@ def main(quick: bool = False, only=None, scale: int | None = None):
             )
         print(json.dumps(row), flush=True)
         results.append(row)
+        # Free this config's device-resident skeleton/state before the next
+        # config compiles (a 4096-chain skeleton left alive while the
+        # dim-50 long-chain config allocates its ~10 GB accumulator OOMs a
+        # 16 GB chip).
+        del skel, smp, sampler, s1
+        sampler_state = None
+        import gc
+
+        gc.collect()
 
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "baseline_results.json")

@@ -163,12 +163,21 @@ def pick_launch(sampler, B: int):
         if best:
             break
     if best is None:
-        _log.warning(
-            "fused kernel disabled for %s (dim=%d, B=%d): no (tile, chunk) "
-            "fits the %d MB VMEM budget; falling back to the XLA engine",
-            type(sampler).__name__, sampler.dim, B,
-            VMEM_BUDGET_BYTES >> 20,
-        )
+        if B % 128:
+            _log.info(
+                "fused kernel disabled for %s (dim=%d): B=%d is not a "
+                "multiple of the 128-lane tile; running the XLA engine "
+                "(expected for single chains / small batches)",
+                type(sampler).__name__, sampler.dim, B,
+            )
+        else:
+            _log.warning(
+                "fused kernel disabled for %s (dim=%d, B=%d): no (tile, "
+                "chunk) fits the %d MB VMEM budget; falling back to the "
+                "XLA engine",
+                type(sampler).__name__, sampler.dim, B,
+                VMEM_BUDGET_BYTES >> 20,
+            )
     elif best != (512, 32):
         _log.info(
             "fused kernel geometry for %s (dim=%d, B=%d): tile=%d chunk=%d "
