@@ -554,17 +554,41 @@ def compact_stream_rows(stream: Skeleton, n_keep: int) -> Skeleton:
     """Stable-partition each chain's stream so event rows (``kind > 0``)
     come first in time order, keeping the first ``n_keep``; all on device.
 
-    Rows beyond a chain's event count are arbitrary padding with
-    ``kind <= 0`` (callers track counts separately).  Because the result is
-    itself a valid stream, multi-fill accumulation is just
+    Rows beyond a chain's event count are zeroed padding with ``kind == 0``
+    (callers track counts separately).  Because the result is itself a
+    valid stream, multi-fill accumulation is just
     ``compact_stream_rows(concat(acc, fill), n_keep)``.
+
+    The event-row gather indices come from a cumsum + one int32 scatter
+    (destination slot of each event row is its event ordinal) rather than a
+    stable sort of the row keys — an O(T) pass instead of TPU's O(T log^2 T)
+    lane-serial bitonic argsort, which dominated end-to-end
+    ``sample_skeleton`` wall time at large B (measured 8x gap between the
+    raw stream runner and the public driver before this change).
     """
-    order = jnp.argsort(stream.kind <= 0, axis=1, stable=True)
-    idx = order[:, :n_keep]
+    kind = stream.kind
+    B, T = kind.shape
+    mask = kind > 0
+    pos = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1  # event ordinal
+    # Scatter each event row's source index into its ordinal slot; rows
+    # beyond n_keep (and non-event rows) land in a dump slot that is
+    # sliced off.  Slot indices are unique per row except the dump slot.
+    dst = jnp.where(mask & (pos < n_keep), pos, n_keep)
+    src = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+    idx_buf = jnp.zeros((B, n_keep + 1), jnp.int32)
+    idx_buf = idx_buf.at[jnp.arange(B)[:, None], dst].set(
+        src, mode="drop", unique_indices=False
+    )
+    idx = idx_buf[:, :n_keep]
+    # Slots past a chain's event total alias row 0; mask them to padding.
+    total = jnp.where(mask.any(axis=1), pos[:, -1] + 1, 0)
+    pad = jnp.arange(n_keep)[None, :] >= jnp.minimum(total, n_keep)[:, None]
 
     def take(buf):
         ix = idx.reshape(idx.shape + (1,) * (buf.ndim - 2))
-        return jnp.take_along_axis(buf, ix.astype(jnp.int32), axis=1)
+        out = jnp.take_along_axis(buf, ix.astype(jnp.int32), axis=1)
+        pd = pad.reshape(pad.shape + (1,) * (buf.ndim - 2))
+        return jnp.where(pd, jnp.zeros((), out.dtype), out)
 
     fields = {
         f: take(getattr(stream, f)) for f in Skeleton._fields if f != "n_valid"
