@@ -159,7 +159,7 @@ def main(quick: bool = False, only=None, scale: int | None = None):
         n_per = min(2048, 4 * n_ev)
         smp = np.asarray(sample_from_skeleton_batch(sampler, n_per, skel))
         smp = smp[:, n_per // 4:, :]
-        summ = ess_summary(smp, rhat_threshold=1.02)
+        summ = ess_summary(smp)  # gate: diagnostics.RHAT_THRESHOLD
         ess_total = summ["ess_total_worst_coord"]
 
         mean, var = pooled_moments(skel, sampler, min(1024, n_per))
@@ -213,7 +213,6 @@ def main(quick: bool = False, only=None, scale: int | None = None):
         # dim-50 long-chain config allocates its ~10 GB accumulator OOMs a
         # 16 GB chip).
         del skel, smp, sampler, s1
-        sampler_state = None
         import gc
 
         gc.collect()

@@ -202,7 +202,15 @@ def split_rhat(samples: np.ndarray) -> np.ndarray:
     return np.sqrt(np.where(W > 0, var_plus / np.where(W > 0, W, 1.0), 1.0))
 
 
-def ess_summary(samples: np.ndarray, rhat_threshold: float = 1.01) -> dict:
+RHAT_THRESHOLD = 1.02
+"""Default split-R̂ convergence gate, shared by :func:`ess_summary`, the
+benchmark sweep (``benchmarks/run_baselines.py``), and the README table so
+every published ESS/s number is gated identically.  Pass a stricter value
+(e.g. the 1.01 of Vehtari et al. 2021) explicitly where needed."""
+
+
+def ess_summary(samples: np.ndarray,
+                rhat_threshold: float = RHAT_THRESHOLD) -> dict:
     """Aggregate cross-chain ESS with convergence gating.
 
     Estimator (printed by ``benchmarks/run_baselines.py``): per-chain Geyer
@@ -210,7 +218,7 @@ def ess_summary(samples: np.ndarray, rhat_threshold: float = 1.01) -> dict:
     independent by construction — distinct PRNG keys), with the **worst
     coordinate** reported as the aggregate; the sum is only trustworthy when
     the chains have converged, so ``converged`` gates on
-    ``max_d split_rhat < rhat_threshold``.
+    ``max_d split_rhat < rhat_threshold`` (default :data:`RHAT_THRESHOLD`).
     """
     s = np.asarray(samples, float)
     if s.ndim == 2:

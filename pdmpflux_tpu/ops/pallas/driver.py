@@ -9,6 +9,7 @@ one batched scatter (``engine._compact_chunk``).
 from __future__ import annotations
 
 import logging
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -108,16 +109,30 @@ def supports_pallas(sampler) -> bool:
     return kernel_kind(sampler) is not None
 
 
-def _per_lane_floats(sampler, kind: str, chunk: int) -> int:
+class Launch(NamedTuple):
+    """Fused-kernel launch geometry: lane tile, transitions per launch, and
+    where the big per-transition event streams live (``"vmem"`` blocks, or
+    ``"hbm"`` with per-transition DMA for large ``d``)."""
+
+    tile: int
+    chunk: int
+    ev_space: str = "vmem"
+
+
+def _per_lane_floats(sampler, kind: str, chunk: int,
+                     ev_space: str = "vmem") -> int:
     """Estimated kernel VMEM floats per chain lane for a ``chunk``-transition
     launch.
 
-    Dominated by the event-stream blocks (``2d + 12`` floats per transition,
-    ``+d`` for the sticky activity stream); the envelope build streams over
-    grid points (two live at a time), so it costs ``O(d)`` not
-    ``O(n_grid * d)``.  Measured calibration: dim-50 grid-9 vectorized at
-    tile 512 / chunk 32 compiles at ~13 MB (fits); dim-10 at tile 512 well
-    under budget."""
+    With ``ev_space="vmem"`` the estimate is dominated by the event-stream
+    blocks (``2d + 12`` floats per transition, ``+d`` for the sticky
+    activity stream); with ``"hbm"`` those ``(K, d, tile)`` blocks move off
+    VMEM (per-transition DMA) and only the small scalar event blocks
+    (12/lane/transition) plus the ``(d, tile)`` staging scratches remain.
+    The envelope build streams over grid points (two live at a time), so it
+    costs ``O(d)`` not ``O(n_grid * d)``.  Measured calibration: dim-50
+    grid-9 vectorized at tile 512 / chunk 32 compiles at ~13 MB (fits);
+    dim-1000 sticky at tile 128 / chunk 8 in hbm mode compiles (r3)."""
     d = sampler.dim
     sticky = bool(getattr(sampler, "sticky", False))
     vect = kind in ("zigzag", "suzz")
@@ -127,9 +142,13 @@ def _per_lane_floats(sampler, kind: str, chunk: int) -> int:
         n_u = 6 + 6 * d
     else:
         n_u = 3 + 2 * d
-    row = 2 * d + 12 + (d if sticky else 0)
+    n_big = 3 if sticky else 2
+    if ev_space == "hbm":
+        ev_term = chunk * 12 + n_big * d
+    else:
+        ev_term = chunk * (2 * d + 12 + (d if sticky else 0))
     return (
-        chunk * row
+        ev_term
         + (14 if vect else 8) * d
         + (2 * d if sticky else 0)
         + n_u + 64
@@ -140,25 +159,30 @@ VMEM_BUDGET_BYTES = 14 * (1 << 20)
 
 
 def pick_launch(sampler, B: int):
-    """Pick the fused-kernel launch geometry ``(tile, chunk)``, or None.
+    """Pick the fused-kernel :class:`Launch` geometry, or None.
 
-    Prefers large lane tiles (512) with the default 32-transition chunk;
-    shrinks the chunk before giving up so large-``d`` configs (e.g. the
-    dim-1000 sticky flagship) still run fused with shorter launches.  Logs
-    at INFO when degrading below the default geometry and at WARNING when
-    nothing fits (``backend="auto"`` then silently used to fall back to the
-    XLA engine — VERDICT r1 weak item 2)."""
+    Prefers large lane tiles (512) with the default 32-transition chunk and
+    VMEM-resident event streams; shrinks the chunk, then moves the big
+    event streams to HBM (per-transition DMA) before giving up, so
+    large-``d`` configs (e.g. the dim-1000 sticky flagship) still run
+    fused.  Logs at INFO when degrading below the default geometry and at
+    WARNING when nothing fits (``backend="auto"`` then silently falls back
+    to the XLA engine — VERDICT r1 weak item 2)."""
     kind = kernel_kind(sampler)
     if kind is None:
         return None
     best = None
-    for chunk in (32, 16, 8, 4):
-        for tile in (512, 256, 128):
-            if B % tile:
-                continue
-            need = _per_lane_floats(sampler, kind, chunk) * 4 * 2 * tile
-            if need <= VMEM_BUDGET_BYTES:
-                best = (tile, chunk)
+    for ev_space in ("vmem", "hbm"):
+        for chunk in (32, 16, 8, 4):
+            for tile in (512, 256, 128):
+                if B % tile:
+                    continue
+                need = (_per_lane_floats(sampler, kind, chunk, ev_space)
+                        * 4 * 2 * tile)
+                if need <= VMEM_BUDGET_BYTES:
+                    best = Launch(tile, chunk, ev_space)
+                    break
+            if best:
                 break
         if best:
             break
@@ -173,16 +197,17 @@ def pick_launch(sampler, B: int):
         else:
             _log.warning(
                 "fused kernel disabled for %s (dim=%d, B=%d): no (tile, "
-                "chunk) fits the %d MB VMEM budget; falling back to the "
-                "XLA engine",
+                "chunk, ev_space) fits the %d MB VMEM budget; falling back "
+                "to the XLA engine",
                 type(sampler).__name__, sampler.dim, B,
                 VMEM_BUDGET_BYTES >> 20,
             )
-    elif best != (512, 32):
+    elif best != (512, 32, "vmem"):
         _log.info(
             "fused kernel geometry for %s (dim=%d, B=%d): tile=%d chunk=%d "
-            "(degraded from (512, 32) to fit VMEM)",
-            type(sampler).__name__, sampler.dim, B, best[0], best[1],
+            "ev_space=%s (degraded from (512, 32, vmem) to fit VMEM)",
+            type(sampler).__name__, sampler.dim, B, best.tile, best.chunk,
+            best.ev_space,
         )
     return best
 
@@ -273,7 +298,8 @@ def convert_flow(sampler, dim: int, tile: int, dtype):
 
 def make_pallas_stream_runner(sampler, t_cap: int, n_events_target: int,
                               chunk: int = 32, tile: int = 512,
-                              interpret: bool = False, mode: str = "events"):
+                              interpret: bool = False, mode: str = "events",
+                              ev_space: str = "vmem"):
     """Fused-kernel variant of ``engine.make_stream_runner``: each chunk is
     one Pallas launch whose per-transition event stream writes densely into
     the ``(B, t_cap, ...)`` buffers via contiguous ``dynamic_update_slice``
@@ -345,7 +371,7 @@ def make_pallas_stream_runner(sampler, t_cap: int, n_events_target: int,
                 kind=kind, gaussian_velocity=gaussian_velocity,
                 ecmc_params=ecmc_params,
                 sticky=sticky, act=act, kappa=kappa,
-                mode=mode, t_target=tt_arg,
+                mode=mode, t_target=tt_arg, ev_space=ev_space,
             )
             if sticky:
                 (x, v, fs, iscal, ring, act,
@@ -405,7 +431,7 @@ def make_pallas_stream_runner(sampler, t_cap: int, n_events_target: int,
 
 def make_pallas_fixed_runner(sampler, n_events: int, max_transitions: int,
                              chunk: int = 32, tile: int = 512,
-                             interpret: bool = False):
+                             interpret: bool = False, ev_space: str = "vmem"):
     n_grid = sampler.grid_size if sampler.grid_size >= 2 else PALLAS_CONST_GRID
     signed = bool(sampler.signed_bound)
     adaptive = bool(sampler.adaptive)
@@ -455,7 +481,7 @@ def make_pallas_fixed_runner(sampler, n_events: int, max_transitions: int,
                 cap=n_events, tile=tile, interpret=interpret,
                 kind=kind, gaussian_velocity=gaussian_velocity,
                 ecmc_params=ecmc_params,
-                sticky=sticky, act=act, kappa=kappa,
+                sticky=sticky, act=act, kappa=kappa, ev_space=ev_space,
             )
             if sticky:
                 (x, v, fs, iscal, ring, act,
