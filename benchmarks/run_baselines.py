@@ -31,6 +31,17 @@ import time
 
 import numpy as np
 
+
+def _force_scalar(a):
+    """Force device materialization by reducing ON DEVICE and fetching one
+    scalar (a full fetch of ``t`` is ~33 MB and crawls at ~30 MB/s through
+    the remote-dispatch tunnel, polluting the measurement by ~1 s)."""
+    import jax.numpy as _jnp
+
+    if isinstance(a, np.ndarray):
+        return float(a.reshape(-1)[-1])
+    return float(_jnp.max(a))
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -45,7 +56,7 @@ def _run_once(pf, sampler, n_or_T, x0, v0, seed, kw):
     skel = pf.sample_skeleton(sampler, n_or_T, x0, v0, seed=seed, **kw)
     n_valid = np.asarray(jax.device_get(skel.n_valid))
     # force materialization through the device tunnel
-    float(np.asarray(skel.t).reshape(-1)[-1])
+    _force_scalar(skel.t)
     wall = time.perf_counter() - t0
     B = 1 if np.ndim(skel.t) == 1 else np.shape(skel.t)[0]
     per_chain_extra = 2 if isinstance(n_or_T, float) else 1  # init [+ terminal]
@@ -59,6 +70,12 @@ def _log(msg):
 
 def main(quick: bool = False, only=None, scale: int | None = None):
     import jax
+
+    try:  # persistent XLA compile cache: reruns skip the multi-minute
+        from pdmpflux_tpu.utils.profiling import enable_persistent_cache
+        enable_persistent_cache("/tmp/pdmpflux_xla_cache")
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     import pdmpflux_tpu as pf
