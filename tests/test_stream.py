@@ -125,3 +125,87 @@ def test_stream_host_accumulation_matches_device(monkeypatch):
     np.testing.assert_allclose(np.asarray(s_host.x), np.asarray(s_dev.x))
     np.testing.assert_allclose(np.asarray(s_host.t), np.asarray(s_dev.t))
     np.testing.assert_allclose(np.asarray(s_host.ar), np.asarray(s_dev.ar))
+
+
+def _random_stream(key, B, T, d, p_event=0.7):
+    ks = jax.random.split(key, 8)
+    return engine.Skeleton(
+        x=jax.random.normal(ks[0], (B, T, d)),
+        v=jax.random.normal(ks[1], (B, T, d)),
+        t=jnp.cumsum(jax.random.uniform(ks[2], (B, T)), axis=1),
+        horizon=jax.random.uniform(ks[3], (B, T)),
+        ar=jax.random.uniform(ks[4], (B, T)),
+        is_active=jax.random.uniform(ks[5], (B, T, d)) < 0.9,
+        rejected=jnp.zeros((B, T), jnp.int32),
+        errored_bound=jnp.zeros((B, T), jnp.int32),
+        hitting_horizon=jnp.zeros((B, T), jnp.int32),
+        error_value_ar=jax.random.normal(ks[6], (B, T, 5)),
+        kind=(jax.random.uniform(ks[7], (B, T)) < p_event).astype(jnp.int32) * 2,
+        n_valid=jnp.full((B,), T, jnp.int32),
+    )
+
+
+def test_compact_gather_matches_logshift():
+    """The index-gather compaction (large-d dispatch) is bit-identical to
+    the log-shift formulation on every field."""
+    stream = _random_stream(jax.random.key(0), B=4, T=96, d=engine.GATHER_DIM_THRESHOLD)
+    for n_keep in (16, 96, 128):
+        a = engine._compact_rows_gather(stream, n_keep)
+        # force the log-shift branch by viewing the same data as small-d
+        kind = stream.kind
+        keep = kind > 0
+        import pdmpflux_tpu.core.engine as eng
+
+        orig = eng.GATHER_DIM_THRESHOLD
+        try:
+            eng.GATHER_DIM_THRESHOLD = 1 << 30
+            b = eng.compact_stream_rows(stream, n_keep)
+        finally:
+            eng.GATHER_DIM_THRESHOLD = orig
+        for f in engine.Skeleton._fields:
+            if f == "n_valid":
+                continue
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, f)), np.asarray(getattr(b, f)), err_msg=f
+            )
+
+
+def test_merge_gather_matches_logshift():
+    """The index-gather merge (large-d dispatch) is bit-identical to the
+    per-chain log-shift merge."""
+    import pdmpflux_tpu.core.engine as eng
+
+    d = engine.GATHER_DIM_THRESHOLD
+    target = 64
+    key = jax.random.key(1)
+    acc_raw = _random_stream(key, B=5, T=target, d=d, p_event=1.0)
+    # accumulator: dense prefixes of varying length
+    offs = np.array([0, 3, 17, 40, 64], np.int32)
+    col = np.arange(target)[None, :]
+    mask = jnp.asarray(col < offs[:, None])
+
+    def clip(sk):
+        out = {}
+        for f in engine.Skeleton._fields:
+            if f == "n_valid":
+                continue
+            a = getattr(sk, f)
+            m = mask.reshape(mask.shape + (1,) * (a.ndim - 2))
+            out[f] = jnp.where(m, a, jnp.zeros((), a.dtype))
+        return engine.Skeleton(**out, n_valid=sk.n_valid)
+
+    acc = clip(acc_raw)
+    rows = _random_stream(jax.random.key(2), B=5, T=24, d=d, p_event=1.0)
+    a = eng._merge_rows_gather(acc, rows, jnp.asarray(offs), target)
+    orig = eng.GATHER_DIM_THRESHOLD
+    try:
+        eng.GATHER_DIM_THRESHOLD = 1 << 30
+        b = eng.merge_rows_at_offsets(acc, rows, jnp.asarray(offs), target)
+    finally:
+        eng.GATHER_DIM_THRESHOLD = orig
+    for f in engine.Skeleton._fields:
+        if f == "n_valid":
+            continue
+        ax, bx = np.asarray(getattr(a, f)), np.asarray(getattr(b, f))
+        # beyond offset+fill rows both must be zero padding; compare fully
+        np.testing.assert_array_equal(ax, bx, err_msg=f)
