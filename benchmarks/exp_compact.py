@@ -105,6 +105,32 @@ def _mismatch(a: Skeleton, b: Skeleton):
     return tot
 
 
+def sweep_dims():
+    """log-shift vs index-gather compaction across state dimensions at
+    ~constant total payload — the measurement behind
+    ``engine.GATHER_DIM_THRESHOLD``."""
+    rows_budget = 4096 * 3712 * 10  # flagship payload in row-floats
+    for d in (10, 32, 64, 128, 256, 512, 1000):
+        B = max(128, min(4096, rows_budget // (2048 * d) // 128 * 128))
+        T, n_keep = 2048, 1024
+        stream = make_stream(B, T, d)
+        orig = engine.GATHER_DIM_THRESHOLD
+        try:
+            engine.GATHER_DIM_THRESHOLD = 1 << 30  # force log-shift
+            f_shift = jax.jit(lambda s: engine.compact_stream_rows(s, n_keep))
+            shift_out, t_shift = bench(f_shift, stream)
+        finally:
+            engine.GATHER_DIM_THRESHOLD = orig
+        f_gather = jax.jit(lambda s: engine._compact_rows_gather(s, n_keep))
+        gather_out, t_gather = bench(f_gather, stream)
+        bad = int(jax.device_get(_mismatch(shift_out, gather_out)))
+        assert bad == 0, (d, bad)
+        win = "gather" if t_gather < t_shift else "log-shift"
+        print(f"d={d:5d} B={B:5d}: log-shift {t_shift*1e3:7.1f} ms | "
+              f"gather {t_gather*1e3:7.1f} ms -> {win}", flush=True)
+        del stream, shift_out, gather_out
+
+
 def main():
     import argparse
 
@@ -114,10 +140,14 @@ def main():
     ap.add_argument("--d", type=int, default=10)
     ap.add_argument("--n-keep", type=int, default=2048)
     ap.add_argument("--skip-scatter", action="store_true")
+    ap.add_argument("--sweep-dims", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     a = ap.parse_args()
     if a.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if a.sweep_dims:
+        sweep_dims()
+        return
     B, T, d, n_keep = a.B, a.T, a.d, a.n_keep
     print(f"B={B} T={T} d={d} n_keep={n_keep}", flush=True)
     stream = make_stream(B, T, d)
