@@ -135,3 +135,77 @@ def test_rhmc_energy_conservation_between_events():
     # exact-solution check: harmonic oscillator rotates
     x_exact = x0 * jnp.cos(3.0) + v0 * jnp.sin(3.0)
     np.testing.assert_allclose(np.asarray(xt), np.asarray(x_exact), atol=5e-3)
+
+
+def test_finalize_horizon_rows_contract():
+    """Device-side horizon assembly: init at col 0, overshoot rows dropped,
+    exact-T terminal appended, tail zeroed (sample.jl:384-420 semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pdmpflux_tpu.core import engine
+    from pdmpflux_tpu.core.types import (
+        EV_INIT, EV_JUMP, EV_TERMINAL, Event, Skeleton,
+    )
+
+    B, W, d, T = 3, 4, 2, 10.0
+    f32 = jnp.float32
+
+    def rows_with_times(tmat, counts):
+        tmat = jnp.asarray(tmat, f32)
+        col = jnp.arange(W)[None, :]
+        valid = col < jnp.asarray(counts)[:, None]
+        return Skeleton(
+            x=jnp.ones((B, W, d), f32) * tmat[..., None],
+            v=jnp.ones((B, W, d), f32),
+            t=tmat,
+            horizon=jnp.ones((B, W), f32),
+            ar=jnp.zeros((B, W), f32),
+            is_active=jnp.broadcast_to(valid[..., None], (B, W, d)),
+            rejected=jnp.zeros((B, W), jnp.int32),
+            errored_bound=jnp.zeros((B, W), jnp.int32),
+            hitting_horizon=jnp.zeros((B, W), jnp.int32),
+            error_value_ar=jnp.zeros((B, W, 5), f32),
+            kind=jnp.where(valid, EV_JUMP, 0).astype(jnp.int32),
+            n_valid=jnp.asarray(counts, jnp.int32),
+        )
+
+    # chain 0: all events within T; chain 1: last event overshoots T;
+    # chain 2: no events at all (init only)
+    counts = np.array([3, 2, 0], np.int32)
+    tmat = np.array([[2.0, 5.0, 8.0, 0.0],
+                     [4.0, 12.0, 0.0, 0.0],
+                     [0.0, 0.0, 0.0, 0.0]], np.float32)
+    rows = rows_with_times(tmat, counts)
+    init_ev = Event(
+        kind=jnp.full((B,), EV_INIT, jnp.int32),
+        x=jnp.zeros((B, d), f32), v=jnp.ones((B, d), f32),
+        t=jnp.zeros((B,), f32), horizon=jnp.ones((B,), f32),
+        ar=jnp.zeros((B,), f32),
+        is_active=jnp.ones((B, d), bool),
+        rejected=jnp.zeros((B,), jnp.int32),
+        errored_bound=jnp.zeros((B,), jnp.int32),
+        hitting_horizon=jnp.zeros((B,), jnp.int32),
+        error_value_ar=jnp.zeros((B, 5), f32),
+    )
+    flow = lambda x, v, t: (x + v * t, v)
+    out = engine.finalize_horizon_rows(flow, rows, init_ev,
+                                       jnp.asarray(counts), T)
+    nv = np.asarray(out.n_valid)
+    # events kept: chain0 3, chain1 1 (12.0 dropped), chain2 0; +init +term
+    assert nv.tolist() == [5, 3, 2]
+    t = np.asarray(out.t)
+    kind = np.asarray(out.kind)
+    for b in range(B):
+        assert kind[b, 0] == EV_INIT and t[b, 0] == 0.0
+        assert kind[b, nv[b] - 1] == EV_TERMINAL
+        assert t[b, nv[b] - 1] == T
+        assert np.all(np.diff(t[b, : nv[b]]) >= 0)
+        assert np.all(t[b, nv[b]:] == 0.0)  # zeroed tail
+        assert np.all(kind[b, nv[b]:] == 0)
+    # terminal position = flow from last kept event
+    x = np.asarray(out.x)
+    # chain 1: last kept event at t=4 with x=4, v=1 -> x(T) = 4 + (10-4) = 10
+    np.testing.assert_allclose(x[1, nv[1] - 1], 10.0)
+    # chain 2: from init x=0, v=1 -> x(T) = 10
+    np.testing.assert_allclose(x[2, nv[2] - 1], 10.0)
