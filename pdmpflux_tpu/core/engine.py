@@ -767,6 +767,53 @@ def _merge_rows_gather(acc: Skeleton, rows: Skeleton, off,
     return Skeleton(**out, n_valid=acc.n_valid)
 
 
+def merge_stream_at_offsets(acc: Skeleton, stream: Skeleton, offsets,
+                            target: int) -> Skeleton:
+    """Merge a RAW fill's event rows into the accumulator at per-chain
+    offsets in one pass: event ``j`` of chain ``b`` lands at column
+    ``offsets[b] + j``.
+
+    At large ``d`` this composes the compaction permutation with the
+    offset shift into a single row gather (indices are computed on the
+    tiny ``(B, T)`` kind array), halving the data movement of
+    ``merge_rows_at_offsets(acc, compact_stream_rows(fill), ...)``; at
+    small ``d`` it falls back to exactly that two-step (whose log-shift
+    passes are cheap there)."""
+    off = jnp.asarray(offsets, jnp.int32)
+    if acc.x.shape[-1] < GATHER_DIM_THRESHOLD:
+        k = min(stream.kind.shape[1], target)
+        return merge_rows_at_offsets(
+            acc, compact_stream_rows(stream, k), off, target
+        )
+    kind = stream.kind
+    B, T = kind.shape
+    keep = kind > 0
+    order = jnp.argsort(jnp.where(keep, 0, 1).astype(jnp.int8), axis=1,
+                        stable=True)
+    total = jnp.sum(keep, axis=1, dtype=jnp.int32)
+    col = jnp.arange(target, dtype=jnp.int32)[None, :]
+    src = col - off[:, None]                   # fill-event ordinal at col c
+    in_fill = (src >= 0) & (src < total[:, None])
+    src_safe = jnp.clip(src, 0, T - 1)
+    sel = jnp.take_along_axis(order, src_safe, axis=1).astype(jnp.int32)
+    in_acc = col < off[:, None]
+    out = {}
+    for f in Skeleton._fields:
+        if f == "n_valid":
+            continue
+        a = getattr(acc, f)
+        r = getattr(stream, f).astype(a.dtype)
+        idx = sel.reshape(sel.shape + (1,) * (a.ndim - 2))
+        g = jnp.take_along_axis(r, idx, axis=1)
+        m_fill = in_fill.reshape(in_fill.shape + (1,) * (a.ndim - 2))
+        m_acc = in_acc.reshape(in_acc.shape + (1,) * (a.ndim - 2))
+        out[f] = jnp.where(
+            m_acc, a[:, :target] if a.shape[1] > target else a,
+            jnp.where(m_fill, g, jnp.zeros((), a.dtype)),
+        )
+    return Skeleton(**out, n_valid=acc.n_valid)
+
+
 def concat_streams(a: Skeleton, b: Skeleton) -> Skeleton:
     """Concatenate two streams along the row axis (device-side)."""
     fields = {

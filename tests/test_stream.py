@@ -209,3 +209,40 @@ def test_merge_gather_matches_logshift():
         ax, bx = np.asarray(getattr(a, f)), np.asarray(getattr(b, f))
         # beyond offset+fill rows both must be zero padding; compare fully
         np.testing.assert_array_equal(ax, bx, err_msg=f)
+
+
+def test_merge_stream_matches_two_step():
+    """The fused raw-stream merge (compaction permutation composed with the
+    offset shift, large-d gather) is bit-identical to compact-then-merge."""
+    import pdmpflux_tpu.core.engine as eng
+
+    d = engine.GATHER_DIM_THRESHOLD
+    target = 96
+    acc_raw = _random_stream(jax.random.key(3), B=4, T=target, d=d, p_event=1.0)
+    offs = np.array([0, 5, 30, 60], np.int32)
+    col = np.arange(target)[None, :]
+    mask = jnp.asarray(col < offs[:, None])
+
+    def clip(sk):
+        out = {}
+        for f in engine.Skeleton._fields:
+            if f == "n_valid":
+                continue
+            a = getattr(sk, f)
+            m = mask.reshape(mask.shape + (1,) * (a.ndim - 2))
+            out[f] = jnp.where(m, a, jnp.zeros((), a.dtype))
+        return engine.Skeleton(**out, n_valid=sk.n_valid)
+
+    acc = clip(acc_raw)
+    fill = _random_stream(jax.random.key(4), B=4, T=48, d=d, p_event=0.6)
+    fused = eng.merge_stream_at_offsets(acc, fill, jnp.asarray(offs), target)
+    two_step = eng.merge_rows_at_offsets(
+        acc, eng.compact_stream_rows(fill, 48), jnp.asarray(offs), target
+    )
+    for f in engine.Skeleton._fields:
+        if f == "n_valid":
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(getattr(fused, f)), np.asarray(getattr(two_step, f)),
+            err_msg=f,
+        )
