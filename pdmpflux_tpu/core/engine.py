@@ -632,9 +632,9 @@ def compact_stream_rows(stream: Skeleton, n_keep: int) -> Skeleton:
     return Skeleton(**out, n_valid=stream.n_valid)
 
 
-def _compact_rows_gather(stream: Skeleton, n_keep: int,
-                         init_ev: Event | None = None) -> Skeleton:
-    """Gather formulation of :func:`compact_stream_rows` (large ``d``).
+def _gather_fields(stream: Skeleton, n_keep: int,
+                   init_ev: Event | None, fields) -> dict:
+    """Gather-compact the named fields; returns a dict of arrays.
 
     With ``init_ev``, the initial-state record is fused into the same
     gather pass as column 0 (output width ``n_keep + 1``) — one pass over
@@ -656,9 +656,7 @@ def _compact_rows_gather(stream: Skeleton, n_keep: int,
         pad_mask = jnp.pad(pad_mask, [(0, 0), (1, 0)])
         col0 = jnp.arange(n_keep + 1, dtype=jnp.int32)[None, :] == 0
     out = {}
-    for f in Skeleton._fields:
-        if f == "n_valid":
-            continue
+    for f in fields:
         a = getattr(stream, f)
         idx = sel.reshape(sel.shape + (1,) * (a.ndim - 2))
         g = jnp.take_along_axis(a, jnp.minimum(idx, a.shape[1] - 1), axis=1)
@@ -670,6 +668,43 @@ def _compact_rows_gather(stream: Skeleton, n_keep: int,
             m0 = col0.reshape(col0.shape + (1,) * (a.ndim - 2))
             g = jnp.where(m0, iv, g)
         out[f] = g
+    return out
+
+
+_ROW_FIELDS = tuple(f for f in Skeleton._fields if f != "n_valid")
+_PALLAS_COMPACT_FIELDS = ("x", "v")
+
+
+def _compact_rows_gather(stream: Skeleton, n_keep: int,
+                         init_ev: Event | None = None) -> Skeleton:
+    """Gather formulation of :func:`compact_stream_rows` (large ``d``).
+
+    On a real TPU the two big float payloads (``x``, ``v``) instead run
+    through the fused Pallas log-shift kernel
+    (``ops/pallas/compact.py``), which performs all shift passes in VMEM
+    and touches HBM exactly once each way — XLA's row gather on the
+    second-minor axis serializes at ~30 GB/s effective (measured, d=1000).
+    """
+    use_kernel = (jax.default_backend() == "tpu"
+                  and n_keep <= stream.kind.shape[1])
+    if not use_kernel:
+        out = _gather_fields(stream, n_keep, init_ev, _ROW_FIELDS)
+        return Skeleton(**out, n_valid=stream.n_valid)
+    from ..ops.pallas import compact as pc
+
+    kind = stream.kind
+    T = kind.shape[1]
+    nbits = max(1, int(T - 1).bit_length())
+    masks = pc.shift_masks(kind, nbits)
+    out = _gather_fields(
+        stream, n_keep, init_ev,
+        [f for f in _ROW_FIELDS if f not in _PALLAS_COMPACT_FIELDS],
+    )
+    for f in _PALLAS_COMPACT_FIELDS:
+        a = getattr(stream, f)
+        init_row = (getattr(init_ev, f)[:, None].astype(a.dtype)
+                    if init_ev is not None else None)
+        out[f] = pc.compact_field(a, masks, n_keep, init_row=init_row)
     return Skeleton(**out, n_valid=stream.n_valid)
 
 
@@ -677,8 +712,8 @@ def compact_stream_rows_with_init(stream: Skeleton, n_keep: int,
                                   init_ev: Event) -> Skeleton:
     """Compacted event rows with the initial record at column 0 (output
     width ``n_keep + 1``); large-``d`` shapes fuse the prepend into the
-    compaction gather.  ``n_valid`` is NOT set — callers finish with
-    ``_replace(n_valid=1 + min(counts, n_keep))``."""
+    compaction gather/kernel.  ``n_valid`` is NOT set — callers finish
+    with ``_replace(n_valid=1 + min(counts, n_keep))``."""
     if stream.x.shape[-1] >= GATHER_DIM_THRESHOLD:
         return _compact_rows_gather(stream, n_keep, init_ev)
     rows = compact_stream_rows(stream, n_keep)

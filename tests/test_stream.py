@@ -246,3 +246,32 @@ def test_merge_stream_matches_two_step():
             np.asarray(getattr(fused, f)), np.asarray(getattr(two_step, f)),
             err_msg=f,
         )
+
+
+def test_pallas_compact_kernel_matches_logshift():
+    """The Pallas shift-compact kernel (interpret mode) reproduces the XLA
+    log-shift compaction bit-for-bit, with and without the fused init row."""
+    import pdmpflux_tpu.core.engine as eng
+    from pdmpflux_tpu.ops.pallas import compact as pc
+
+    for (Bc, T, d, n_keep) in [(4, 64, 200, 48), (3, 128, 130, 128),
+                               (2, 64, 256, 31)]:
+        stream = _random_stream(jax.random.key(7), B=Bc, T=T, d=d, p_event=0.6)
+        nbits = max(1, int(T - 1).bit_length())
+        masks = pc.shift_masks(stream.kind, nbits)
+        out = pc.compact_field(stream.x, masks, n_keep, interpret=True)
+        orig = eng.GATHER_DIM_THRESHOLD
+        try:
+            eng.GATHER_DIM_THRESHOLD = 1 << 30
+            ref = eng.compact_stream_rows(stream, n_keep)
+        finally:
+            eng.GATHER_DIM_THRESHOLD = orig
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref.x))
+        # fused init row at column 0
+        init_row = jax.random.normal(jax.random.key(8), (Bc, 1, d))
+        out_i = pc.compact_field(stream.x, masks, n_keep, init_row=init_row,
+                                 interpret=True)
+        np.testing.assert_array_equal(np.asarray(out_i[:, 0]),
+                                      np.asarray(init_row[:, 0]))
+        np.testing.assert_array_equal(np.asarray(out_i[:, 1:]),
+                                      np.asarray(ref.x))
