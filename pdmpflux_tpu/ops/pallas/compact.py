@@ -25,6 +25,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def shift_masks(kind, nbits: int):
@@ -109,8 +110,21 @@ def compact_field(a, masks, n_keep: int, init_row=None,
     nbits = masks.shape[1] - 1  # last plane is row validity
     if n_keep > T:
         raise ValueError(f"n_keep={n_keep} must be <= T={T}")
-    grid = (B, pl.cdiv(d, 128))
-    src_spec = pl.BlockSpec((None, T, 128), lambda b, j: (b, 0, j))
+    # Widest lane block whose in+out working set fits comfortably in VMEM:
+    # per-program overhead (~tens of us) dominates when the grid is large,
+    # so fewer, fatter programs win (measured: 1024 programs of (T, 128)
+    # ran at ~32 GB/s; B programs of (T, d) approach DMA speed).
+    budget = 24 << 20
+    if T * d * 4 * 2 <= budget:
+        d_block = d
+    else:
+        d_block = 128
+        for cand in (1024, 512, 256):
+            if T * cand * 4 * 2 <= budget:
+                d_block = cand
+                break
+    grid = (B, pl.cdiv(d, d_block))
+    src_spec = pl.BlockSpec((None, T, d_block), lambda b, j: (b, 0, j))
     m_spec = pl.BlockSpec((1, nbits + 1, T), lambda b, j: (b, 0, 0))
     if init_row is None:
         kern = functools.partial(_kern, nbits=nbits, n_keep=n_keep)
@@ -118,10 +132,13 @@ def compact_field(a, masks, n_keep: int, init_row=None,
             kern,
             grid=grid,
             in_specs=[src_spec, m_spec],
-            out_specs=pl.BlockSpec((None, n_keep, 128),
+            out_specs=pl.BlockSpec((None, n_keep, d_block),
                                    lambda b, j: (b, 0, j)),
             out_shape=jax.ShapeDtypeStruct((B, n_keep, d), a.dtype),
             interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=64 << 20
+            ),
         )(a, masks)
     kern = functools.partial(_kern_init, nbits=nbits, n_keep=n_keep)
     return pl.pallas_call(
@@ -129,10 +146,13 @@ def compact_field(a, masks, n_keep: int, init_row=None,
         grid=grid,
         in_specs=[
             src_spec, m_spec,
-            pl.BlockSpec((None, 1, 128), lambda b, j: (b, 0, j)),
+            pl.BlockSpec((None, 1, d_block), lambda b, j: (b, 0, j)),
         ],
-        out_specs=pl.BlockSpec((None, n_keep + 1, 128),
+        out_specs=pl.BlockSpec((None, n_keep + 1, d_block),
                                lambda b, j: (b, 0, j)),
         out_shape=jax.ShapeDtypeStruct((B, n_keep + 1, d), a.dtype),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 << 20
+        ),
     )(a, masks, init_row.astype(a.dtype))
