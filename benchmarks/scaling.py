@@ -61,13 +61,13 @@ def batch_scaling(pf, jnp, jax, n_ev=1024):
     return rows
 
 
-def mesh_scaling(pf, jnp, jax, n_ev=512, per_dev=256):
+def mesh_scaling(pf, jnp, jax, n_ev=512, per_dev=256, n_list=(1, 2, 4, 8)):
     from pdmpflux_tpu.parallel import make_mesh
     from pdmpflux_tpu.parallel.sharded import sample_skeleton_sharded
 
     rows = []
     avail = len(jax.devices())
-    for n in (1, 2, 4, 8):
+    for n in n_list:
         if n > avail:
             break
         mesh = make_mesh(n)
@@ -107,6 +107,10 @@ def main():
                     help="force the 8-virtual-device CPU mesh (the standard "
                          "JAX fake-device trick; rows are labeled "
                          "platform='cpu')")
+    ap.add_argument("--per-dev", type=int, default=256,
+                    help="chains per device for the mesh axis")
+    ap.add_argument("--mesh-n-ev", type=int, default=512,
+                    help="events per chain for the mesh axis")
     args = ap.parse_args()
 
     if args.cpu_mesh:
@@ -124,7 +128,8 @@ def main():
     if args.axis in ("batch", "both"):
         rows += batch_scaling(pf, jnp, jax)
     if args.axis in ("mesh", "both"):
-        rows += mesh_scaling(pf, jnp, jax)
+        rows += mesh_scaling(pf, jnp, jax, n_ev=args.mesh_n_ev,
+                             per_dev=args.per_dev)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "scaling_results.json")

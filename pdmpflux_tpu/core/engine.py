@@ -901,7 +901,7 @@ def prepend_init_rows(rows: Skeleton, init_ev: Event, counts,
 
 
 def finalize_horizon_rows(flow, rows: Skeleton, init_ev: Event, counts,
-                          T) -> Skeleton:
+                          T, out_width: int | None = None) -> Skeleton:
     """Assemble the time-horizon skeleton entirely on device: prepend the
     initial record, drop overshoot rows (``t > T``), synthesize the exact
     ``t = T`` terminal point with one batched flow, and zero the tail —
@@ -911,7 +911,11 @@ def finalize_horizon_rows(flow, rows: Skeleton, init_ev: Event, counts,
 
     ``rows``: ``(B, W)`` dense per-chain event prefixes; ``counts``: events
     per chain.  Returns a ``(B, W + 2)`` skeleton (one column for the init
-    record, one for the terminal point) with per-chain ``n_valid``.
+    record, one for the terminal point) with per-chain ``n_valid`` — or
+    ``(B, out_width)`` when given, fusing the final trim into the same
+    program (the caller derives a safe ``out_width >= max(n_valid)`` from
+    host-side fill counts, avoiding both a separate trim dispatch and an
+    ``n_valid`` fetch round trip).
     """
     skel = prepend_init_rows(rows, init_ev, counts, rows.t.shape[1])
     t = skel.t
@@ -949,9 +953,10 @@ def finalize_horizon_rows(flow, rows: Skeleton, init_ev: Event, counts,
     )
     has_term = bool(float(T) > 0.0)  # static: T is a host scalar
     n_valid = kcount + (1 if has_term else 0)
-    col2 = jnp.arange(W1 + 1, dtype=jnp.int32)[None, :]
+    Wo = W1 + 1 if out_width is None else int(out_width)
+    col2 = jnp.arange(Wo, dtype=jnp.int32)[None, :]
     is_term = (col2 == kcount[:, None]) if has_term else jnp.zeros(
-        (B, W1 + 1), bool
+        (B, Wo), bool
     )
     tail = col2 >= n_valid[:, None]
     out = {}
@@ -959,7 +964,10 @@ def finalize_horizon_rows(flow, rows: Skeleton, init_ev: Event, counts,
         if f == "n_valid":
             continue
         a = getattr(skel, f)
-        a = jnp.pad(a, [(0, 0), (0, 1)] + [(0, 0)] * (a.ndim - 2))
+        if Wo > W1:
+            a = jnp.pad(a, [(0, 0), (0, Wo - W1)] + [(0, 0)] * (a.ndim - 2))
+        elif Wo < W1:
+            a = a[:, :Wo]
         tv = term[f]
         tv = tv.reshape((B, 1) + tv.shape[1:]).astype(a.dtype)
         m_t = is_term.reshape(is_term.shape + (1,) * (a.ndim - 2))

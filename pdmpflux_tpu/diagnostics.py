@@ -74,10 +74,17 @@ def diagnostic(skeleton: Skeleton, color="#78C2AD", show=False, save_path=None):
     return fig
 
 
-def RV_diagnostic(skeleton: Skeleton, U, B: int = 0) -> float:
+def RV_diagnostic(skeleton: Skeleton, U, B: int = 0):
     """Offline realized volatility with linear masked-velocity flow
-    (diagnostic.jl:37-75)."""
+    (diagnostic.jl:37-75).
+
+    Accepts a single-chain ``(N,)`` skeleton (returns a float, like the
+    reference) or a chain-batch ``(Bc, N)`` skeleton (returns a ``(Bc,)``
+    array of per-chain RVs — the reference has no chain batching at all).
+    """
     t = np.asarray(skeleton.t)
+    if t.ndim == 2:
+        return _rv_diagnostic_batch(skeleton, U, B)
     N = len(t)
     if N == 0:
         return 0.0
@@ -104,6 +111,51 @@ def RV_diagnostic(skeleton: Skeleton, U, B: int = 0) -> float:
     # boundaries[0] == 0 gives x(0) = X[0]; increments telescope exactly as
     # the reference's per-event accumulation does.
     return float(np.sum(np.diff(u) ** 2) / T)
+
+
+def _rv_diagnostic_batch(skeleton: Skeleton, U, B: int) -> np.ndarray:
+    """Vectorized chain-batch RV: per-chain boundaries on the chain's own
+    ``[0, t_end]`` with the padded tail masked out of the boundary search
+    (one jitted call for the whole batch — a per-chain Python loop would pay
+    one eager-dispatch round trip per chain through a device tunnel)."""
+    t = np.asarray(skeleton.t)
+    n_valid = np.asarray(skeleton.n_valid)
+    Bc, N = t.shape
+    t_end = t[np.arange(Bc), np.maximum(n_valid - 1, 0)]
+    if not (np.all(np.isfinite(t_end)) and np.all(t_end >= 0)):
+        raise ValueError(
+            "history.t[end] must be finite and non-negative for every chain."
+        )
+    if B == 0:
+        B = max(1, int(np.floor(np.sqrt(max(int(n_valid.min()), 1)))))
+    elif B < 0:
+        raise ValueError(f"B must be non-negative. Current value: {B}")
+
+    def rv_all(tm, X, V, A, nv, tend):
+        col = jnp.arange(N, dtype=jnp.int32)[None, :]
+        t_m = jnp.where(col < nv[:, None], tm, jnp.asarray(jnp.inf, tm.dtype))
+
+        def one(tb, xb, vb, ab, te):
+            bounds = jnp.linspace(0.0, 1.0, B + 1).astype(tb.dtype) * te
+            idx = jnp.clip(
+                jnp.searchsorted(tb, bounds, side="right") - 1, 0, N - 1
+            )
+            tau = bounds - tb[idx]  # idx stays in the finite valid prefix
+            x_b = xb[idx] + jnp.where(ab[idx], vb[idx], 0.0) * tau[:, None]
+            u = jax.vmap(U)(x_b)
+            return jnp.where(
+                te > 0, jnp.sum(jnp.diff(u) ** 2) / jnp.where(te > 0, te, 1.0),
+                0.0,
+            )
+
+        return jax.vmap(one)(t_m, X, V, A, tend)
+
+    out = jax.jit(rv_all)(
+        jnp.asarray(t), jnp.asarray(skeleton.x), jnp.asarray(skeleton.v),
+        jnp.asarray(skeleton.is_active), jnp.asarray(n_valid, jnp.int32),
+        jnp.asarray(t_end),
+    )
+    return np.asarray(out)
 
 
 def _autocorr_fft(x: np.ndarray) -> np.ndarray:

@@ -66,8 +66,13 @@ class Boomerang(PDMP):
         return jnp.maximum(0.0, jnp.dot(self._grad_eff(xt), vt)) + self.refresh_rate
 
     def _signed_rate(self, x, v, t):
+        # No refresh term: the envelope builder adds refresh_rate once after
+        # the max-with-0 — tight, unlike the reference's double-count (see
+        # the same note in bps.py; BoomerangSamplers.jl:44-46 +
+        # UpperBound.jl:131).  On a pure-Gaussian target (grad_eff == 0)
+        # this lifts thinning acceptance from exactly 0.5 to ~1.
         xt, vt = self.flow(x, v, t)
-        return jnp.dot(self._grad_eff(xt), vt) + self.refresh_rate
+        return jnp.dot(self._grad_eff(xt), vt)
 
     def velocity_jump(self, x, v, key, is_active):
         g = self._grad_eff(x)

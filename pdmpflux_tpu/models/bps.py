@@ -59,8 +59,15 @@ class BPS(PDMP):
         return jnp.maximum(0.0, jnp.dot(self.grad_U(xt), vt)) + self.refresh_rate
 
     def _signed_rate(self, x, v, t):
+        # No refresh term here: the signed-grid envelope builder adds
+        # refresh_rate ONCE after the max-with-0 (base.bound_box ->
+        # upper_bound_grid), giving the tight envelope max(env(<g,v>),0)+r.
+        # The reference double-counts (its signed closure includes refresh,
+        # BouncyParticleSamplers.jl:44-47, AND upper_bound_grid adds it
+        # again, UpperBound.jl:131) which caps acceptance at l/(l+r) —
+        # envelope slack only, law identical (documented deviation).
         xt, vt = self.flow(x, v, t)
-        return jnp.dot(self.grad_U(xt), vt) + self.refresh_rate
+        return jnp.dot(self.grad_U(xt), vt)
 
     def velocity_jump(self, x, v, key, is_active):
         g = self.grad_U(x)

@@ -127,12 +127,13 @@ def _per_lane_floats(sampler, kind: str, chunk: int,
     With ``ev_space="vmem"`` the estimate is dominated by the event-stream
     blocks (``2d + 12`` floats per transition, ``+d`` for the sticky
     activity stream); with ``"hbm"`` those ``(K, d, tile)`` blocks move off
-    VMEM (per-transition DMA) and only the small scalar event blocks
-    (12/lane/transition) plus the ``(d, tile)`` staging scratches remain.
-    The envelope build streams over grid points (two live at a time), so it
-    costs ``O(d)`` not ``O(n_grid * d)``.  Measured calibration: dim-50
-    grid-9 vectorized at tile 512 / chunk 32 compiles at ~13 MB (fits);
-    dim-1000 sticky at tile 128 / chunk 8 in hbm mode compiles (r3)."""
+    VMEM (double-buffered per-transition DMA) and only the small scalar
+    event blocks (12/lane/transition) plus the ``(2, d, tile)`` staging
+    scratches remain.  The envelope build streams over grid points (two
+    live at a time), so it costs ``O(d)`` not ``O(n_grid * d)``.  Measured
+    calibration: dim-50 grid-9 vectorized at tile 512 / chunk 32 compiles
+    at ~13 MB (fits); dim-1000 sticky at tile 128 / chunk 8 in hbm mode
+    compiles (r3)."""
     d = sampler.dim
     sticky = bool(getattr(sampler, "sticky", False))
     vect = kind in ("zigzag", "suzz")
@@ -144,7 +145,7 @@ def _per_lane_floats(sampler, kind: str, chunk: int,
         n_u = 3 + 2 * d
     n_big = 3 if sticky else 2
     if ev_space == "hbm":
-        ev_term = chunk * 12 + n_big * d
+        ev_term = chunk * 12 + 2 * n_big * d
     else:
         ev_term = chunk * (2 * d + 12 + (d if sticky else 0))
     return (
@@ -249,6 +250,121 @@ def pick_launch(sampler, B: int):
             best.ev_space,
         )
     return best
+
+
+def launch_candidates(sampler, B: int):
+    """Every admissible :class:`Launch` geometry, best-first.
+
+    The analytic VMEM model only ORDERS the candidates; callers degrade
+    through this list when Mosaic's real allocator disagrees with the model
+    (probe-based calibration, VERDICT r3 item 7: a mis-estimated geometry
+    falls through to the next instead of failing the run).  The terminal
+    ``None`` entry means "fall back to the XLA stream engine"."""
+    kind = kernel_kind(sampler)
+    if kind is None:
+        return [None]
+    budget = _vmem_budget()
+    seen, out = set(), []
+    for cap in (min(VMEM_SWEET_BYTES, budget), budget):
+        for ev_space in ("vmem", "hbm"):
+            for chunk in (32, 16, 8, 4):
+                for tile in (512, 256, 128):
+                    if B % tile:
+                        continue
+                    need = (_per_lane_floats(sampler, kind, chunk, ev_space)
+                            * 4 * 2 * tile)
+                    if need <= cap:
+                        lau = Launch(tile, chunk, ev_space)
+                        if lau not in seen:
+                            seen.add(lau)
+                            out.append(lau)
+    out.append(None)
+    return out
+
+
+def is_vmem_error(e: Exception) -> bool:
+    """Does this exception look like a Mosaic/XLA VMEM exhaustion (the
+    compile-time error a too-fat kernel geometry raises)?"""
+    s = str(e).lower()
+    return ("vmem" in s
+            or ("mosaic" in s and ("exceed" in s or "alloc" in s)))
+
+
+def make_stream_call(sampler, B: int, t_cap: int, target: int,
+                     mode: str = "events"):
+    """Stream-fill callable with probe-based geometry fallback.
+
+    Returns ``call(state, stream, counts, t_target=None) -> StreamResult``.
+    The first invocation compiles the model-picked :class:`Launch`; if
+    Mosaic rejects it with a VMEM error, the next candidate from
+    :func:`launch_candidates` is tried (ending at the XLA stream engine),
+    so a blind spot in the analytic VMEM model degrades performance, never
+    correctness.  The working geometry is cached on the sampler for the
+    rest of the session.
+    """
+    from ...core import engine as _engine
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    cands = launch_candidates(sampler, B) if on_tpu else [None]
+    picked = pick_launch(sampler, B) if on_tpu else None
+    if picked in cands:
+        cands = cands[cands.index(picked):]
+
+    def build(launch):
+        if launch is None:
+            runner = sampler._cached(
+                ("xla_stream", t_cap, mode),
+                lambda: jax.jit(
+                    _engine.make_stream_runner(sampler, t_cap, chunk=64,
+                                               mode=mode),
+                    static_argnums=(3,) if mode == "events" else (),
+                ),
+            )
+            if mode == "events":
+                return lambda st, stream, counts, tt=None: runner(
+                    st, stream, counts, target
+                )
+            return lambda st, stream, counts, tt: runner(
+                st, stream, counts, tt
+            )
+        tile, chunk, ev_space = launch
+        runner = sampler._cached(
+            ("pallas_stream", mode, t_cap, target, tile, chunk, ev_space),
+            lambda: jax.jit(make_pallas_stream_runner(
+                sampler, t_cap, target, chunk=chunk, tile=tile, mode=mode,
+                ev_space=ev_space,
+            )),
+        )
+        if mode == "events":
+            return lambda st, stream, counts, tt=None: runner(
+                st, stream, counts
+            )
+        return lambda st, stream, counts, tt: runner(st, stream, counts, tt)
+
+    holder = {"call": None, "idx": 0}
+
+    def call(state, stream, counts, t_target=None):
+        if holder["call"] is not None:
+            return holder["call"](state, stream, counts, t_target)
+        while True:
+            launch = cands[holder["idx"]]
+            fn = build(launch)
+            try:
+                res = fn(state, stream, counts, t_target)
+            except Exception as e:
+                if launch is None or not is_vmem_error(e):
+                    raise
+                holder["idx"] += 1
+                _log.warning(
+                    "fused kernel geometry %s rejected by the compiler "
+                    "(%s...); degrading to %s",
+                    launch, str(e)[:120], cands[holder["idx"]],
+                )
+                continue
+            holder["call"] = fn
+            return res
+
+    return call
 
 
 def pick_tile(sampler, B: int, chunk: int = 32):

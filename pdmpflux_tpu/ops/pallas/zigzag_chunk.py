@@ -311,13 +311,16 @@ def _make_kernel(grad_vec: Callable, flow_vec: Callable, *, n_grid: int,
                 def f(t):
                     r = signed_rates(x, va, t)
                     return r if signed else jnp.maximum(r, 0.0)
-            else:  # scalar-dot rate (BPS/Boomerang): includes refresh
-                   # inside, like the reference's closures
-                   # (BouncyParticleSamplers.jl:39-47)
+            else:  # scalar-dot rate (BPS/Boomerang)
                 def f(t):
+                    # signed: bare <grad, v>; the envelope adds refresh ONCE
+                    # after the max-with-0 (tight — see models/bps.py note).
+                    # unsigned: the true rate max(<g,v>, 0) + refresh itself.
                     xt, vt = flow_fn(x, va, t)
-                    s = jnp.sum(grad_fn(xt) * vt, axis=0) + refresh_rate
-                    return s if signed else jnp.maximum(s, 0.0)
+                    s = jnp.sum(grad_fn(xt) * vt, axis=0)
+                    return s if signed else (
+                        jnp.maximum(s, 0.0) + refresh_rate
+                    )
 
             # ---- envelope build on [0, bh], streamed over grid points ----
             # Only two grid points are live at a time (the (n_grid, d, TB)
@@ -345,10 +348,11 @@ def _make_kernel(grad_vec: Callable, flow_vec: Callable, *, n_grid: int,
                         jnp.maximum(f_prev, f_j), jnp.maximum(inter, 0.0)
                     )
                     # zigzag sums per-dim envelopes (no refresh,
-                    # UpperBound.jl:246); the scalar grid path adds refresh
-                    # on top (AbstractPDMP.jl:129, conservatively double-
-                    # counting with the closure's own refresh, exactly like
-                    # the reference — envelope slack is law-exact).
+                    # UpperBound.jl:246); the signed scalar path adds
+                    # refresh ONCE here, after the max-with-0 on the bare
+                    # signed dot — the tight envelope (see models/bps.py
+                    # note on the reference's double-count); the unsigned
+                    # scalar f already includes refresh.
                     if vect:
                         seg = jnp.sum(seg, axis=0) + refresh_rate
                     elif signed:
@@ -713,26 +717,37 @@ def _make_kernel(grad_vec: Callable, flow_vec: Callable, *, n_grid: int,
             # rows of the kind block: [kind, rejected, errored, hitting]
             ev_kind[k] = jnp.stack([kval, rej_new, err_new, hit_new], axis=0)
             if n_big:
-                # stage each (d, TB) row in VMEM and DMA it to the HBM
-                # stream at [k, :, lane-tile]; start all streams, then wait
-                # (the next overwrite of the scratch is a full iteration of
-                # envelope/thinning work away, so latency mostly hides).
+                # Double-buffered HBM event-stream DMA (VERDICT r3 item 3):
+                # stage each (d, TB) row in slot k%2 of a 2-slot VMEM
+                # scratch and start its copy to the HBM stream at
+                # [k, :, lane-tile]; the WAIT happens two transitions later,
+                # just before that slot is overwritten, so a full
+                # transition's envelope/thinning work overlaps the copy
+                # (the old stage-start-wait-in-place form exposed the full
+                # DMA latency every transition).
                 lane0 = tile * TB
+                slot = jax.lax.rem(k, 2)
                 vals = (x_new, v_new) + ((act_new,) if sticky else ())
                 big_refs = (ev_x, ev_v) + ((ev_act,) if sticky else ())
-                dmas = []
+
+                @pl.when(k >= 2)
+                def _drain_prev():
+                    for si, (s_ref, b_ref) in enumerate(zip(scr, big_refs)):
+                        pltpu.make_async_copy(
+                            s_ref.at[slot],
+                            b_ref.at[k - 2, :, pl.ds(lane0, TB)],
+                            dma_sems.at[si, slot],
+                        ).wait()
+
                 for si, (s_ref, b_ref, val) in enumerate(
                     zip(scr, big_refs, vals)
                 ):
-                    s_ref[:] = val
-                    dmas.append(pltpu.make_async_copy(
-                        s_ref, b_ref.at[k, :, pl.ds(lane0, TB)],
-                        dma_sems.at[si],
-                    ))
-                for dma in dmas:
-                    dma.start()
-                for dma in dmas:
-                    dma.wait()
+                    s_ref[slot] = val
+                    pltpu.make_async_copy(
+                        s_ref.at[slot],
+                        b_ref.at[k, :, pl.ds(lane0, TB)],
+                        dma_sems.at[si, slot],
+                    ).start()
             else:
                 ev_x[k] = x_new
                 ev_v[k] = v_new
@@ -771,6 +786,17 @@ def _make_kernel(grad_vec: Callable, flow_vec: Callable, *, n_grid: int,
             x, v, fs, iscal, ring = jax.lax.fori_loop(
                 0, K, body, (x, v, fs, iscal, ring)
             )
+        if n_big:
+            # drain the in-flight DMAs of the last two transitions
+            big_refs_d = (ev_x, ev_v) + ((ev_act,) if sticky else ())
+            lane0_d = tile * x.shape[1]
+            for kk in range(max(0, K - 2), K):
+                for si, (s_ref, b_ref) in enumerate(zip(scr, big_refs_d)):
+                    pltpu.make_async_copy(
+                        s_ref.at[kk % 2],
+                        b_ref.at[kk, :, pl.ds(lane0_d, x.shape[1])],
+                        dma_sems.at[si, kk % 2],
+                    ).wait()
         x_out[:] = x
         v_out[:] = v
         fs_out[:] = fs
@@ -914,8 +940,10 @@ def run_chunk(seed, x, v, fs, iscal, ring, *, grad_vec, flow_vec, n_grid, K,
     scratch_shapes = []
     if ev_space == "hbm":
         n_big = 3 if sticky else 2
-        scratch_shapes = [pltpu.VMEM((d, tile), dtype) for _ in range(n_big)]
-        scratch_shapes.append(pltpu.SemaphoreType.DMA((n_big,)))
+        # 2-slot staging per stream for double-buffered DMA (see kernel)
+        scratch_shapes = [pltpu.VMEM((2, d, tile), dtype)
+                          for _ in range(n_big)]
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((n_big, 2)))
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
         in_specs=in_specs,

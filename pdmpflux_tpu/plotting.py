@@ -165,40 +165,56 @@ def plot_U_contour(U, xlim=(-3, 3), ylim=(-3, 3), n=120, save_path=None):
     return fig
 
 
-def anim_traj(skeleton: Skeleton, n_max: int = 200, *, dt: float = 0.1,
-              flow=None, coords=(0, 1), save_path=None, fps: int = 30):
-    """Animate the trajectory, interpolating between events at step ``dt``
-    (plot.jl:194-333).  ``flow`` overrides the linear interpolant for
-    curved-flow samplers (the reference's ``nonlinear_flow`` option)."""
-    plt = _mpl()
-    from matplotlib import animation
-
+def _anim_points(skeleton: Skeleton, n_max: int, dt: float, flow, coords):
+    """Interpolated animation frames.  2-D+ histories animate the two
+    ``coords`` coordinates (plot.jl:216-333); 1-D histories animate
+    ``(t, x)`` with time on the horizontal axis (plot.jl:207-214 — the
+    reference's dim-1 branch).  Returns (points, event_xy, labels)."""
     X = np.asarray(skeleton.x)[:n_max]
     V = np.asarray(skeleton.v)[:n_max]
     A = np.asarray(skeleton.is_active)[:n_max]
     t = np.asarray(skeleton.t)[:n_max]
+    one_d = X.shape[1] == 1
 
-    frames_xy = []
+    pts = []
     for i in range(len(t) - 1):
         seg = max(1, int(np.ceil((t[i + 1] - t[i]) / dt)))
         taus = np.linspace(0.0, t[i + 1] - t[i], seg, endpoint=False)
         v_used = np.where(A[i], V[i], 0.0)
         for tau in taus:
-            if flow is None:
-                p = X[i] + v_used * tau
-            else:
-                p = np.asarray(flow(X[i], v_used, tau)[0])
-            frames_xy.append(p[list(coords)])
-    frames_xy.append(X[-1][list(coords)])
-    frames_xy = np.asarray(frames_xy)
+            p = (X[i] + v_used * tau) if flow is None else np.asarray(
+                flow(X[i], v_used, tau)[0]
+            )
+            pts.append((t[i] + tau, p[0]) if one_d else p[list(coords)])
+    pts.append((t[-1], X[-1, 0]) if one_d else X[-1][list(coords)])
+    if one_d:
+        ev_xy = np.stack([t, X[:, 0]], axis=1)
+        labels = ("t", "x")
+    else:
+        ev_xy = X[:, list(coords)]
+        labels = (f"x{coords[0]}", f"x{coords[1]}")
+    return np.asarray(pts), ev_xy, labels
+
+
+def anim_traj(skeleton: Skeleton, n_max: int = 200, *, dt: float = 0.1,
+              flow=None, coords=(0, 1), save_path=None, fps: int = 30):
+    """Animate the trajectory, interpolating between events at step ``dt``
+    (plot.jl:194-333).  ``flow`` overrides the linear interpolant for
+    curved-flow samplers (the reference's ``nonlinear_flow`` option).
+    Dim-1 histories animate ``(t, x)`` like the reference (plot.jl:207)."""
+    plt = _mpl()
+    from matplotlib import animation
+
+    frames_xy, ev_xy, labels = _anim_points(skeleton, n_max, dt, flow, coords)
 
     fig, ax = plt.subplots()
     pad = 0.5
     ax.set_xlim(frames_xy[:, 0].min() - pad, frames_xy[:, 0].max() + pad)
     ax.set_ylim(frames_xy[:, 1].min() - pad, frames_xy[:, 1].max() + pad)
+    ax.set(xlabel=labels[0], ylabel=labels[1])
     (line,) = ax.plot([], [], lw=0.8)
     (dot,) = ax.plot([], [], "o", color="#E95420", ms=4)
-    ev = ax.scatter(X[:, coords[0]], X[:, coords[1]], s=4, alpha=0.3)
+    ev = ax.scatter(ev_xy[:, 0], ev_xy[:, 1], s=4, alpha=0.3)
 
     def update(i):
         line.set_data(frames_xy[: i + 1, 0], frames_xy[: i + 1, 1])
@@ -218,33 +234,19 @@ def anim_traj_(skeleton: Skeleton, n_max: int = 200, *, dt: float = 0.1,
                tail: int = 60):
     """Fading-tail animation variant (plot.jl:339-631 ``anim_traj_``):
     only the most recent ``tail`` interpolation points are drawn, with
-    opacity fading toward the tail end and the current point highlighted."""
+    opacity fading toward the tail end and the current point highlighted.
+    Dim-1 histories animate ``(t, x)`` like the reference (plot.jl:207)."""
     plt = _mpl()
     from matplotlib import animation
     from matplotlib.collections import LineCollection
 
-    X = np.asarray(skeleton.x)[:n_max]
-    V = np.asarray(skeleton.v)[:n_max]
-    A = np.asarray(skeleton.is_active)[:n_max]
-    t = np.asarray(skeleton.t)[:n_max]
-
-    pts = []
-    for i in range(len(t) - 1):
-        seg = max(1, int(np.ceil((t[i + 1] - t[i]) / dt)))
-        taus = np.linspace(0.0, t[i + 1] - t[i], seg, endpoint=False)
-        v_used = np.where(A[i], V[i], 0.0)
-        for tau in taus:
-            p = (X[i] + v_used * tau) if flow is None else np.asarray(
-                flow(X[i], v_used, tau)[0]
-            )
-            pts.append(p[list(coords)])
-    pts.append(X[-1][list(coords)])
-    pts = np.asarray(pts)
+    pts, _, labels = _anim_points(skeleton, n_max, dt, flow, coords)
 
     fig, ax = plt.subplots()
     pad = 0.5
     ax.set_xlim(pts[:, 0].min() - pad, pts[:, 0].max() + pad)
     ax.set_ylim(pts[:, 1].min() - pad, pts[:, 1].max() + pad)
+    ax.set(xlabel=labels[0], ylabel=labels[1])
     lc = LineCollection([], linewidths=1.2)
     ax.add_collection(lc)
     (dot,) = ax.plot([], [], "o", color="#E95420", ms=5)

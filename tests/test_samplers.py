@@ -77,6 +77,26 @@ def test_boomerang_gaussian_moments():
     _moment_check(samples)
 
 
+def test_signed_envelope_is_tight_no_refresh_double_count():
+    """The signed scalar-grid envelope adds refresh_rate ONCE (after the
+    max-with-0), unlike the reference's double-count which caps thinning
+    acceptance at l/(l+r) — exactly 0.5 on the pure-Gaussian Boomerang
+    (grad_eff == 0, rate == refresh).  Guard the tight-envelope fix
+    (VERDICT r3 item 5; see models/bps.py docstring)."""
+    sampler = pf.Boomerang(4, lambda x: x, refresh_rate=0.5)
+    skel = pf.sample_skeleton(
+        sampler, 300, np.zeros(4), np.random.default_rng(0).normal(size=4),
+        seed=0,
+    )
+    ar = np.asarray(skel.ar)[np.asarray(skel.kind) == pf.EV_JUMP]
+    assert ar.mean() > 0.95, ar.mean()
+
+    bps = pf.BPSAD(4, potentials.gauss, refresh_rate=0.5)
+    skb = pf.sample_skeleton(bps, 300, np.zeros(4), np.ones(4), seed=0)
+    arb = np.asarray(skb.ar)[np.asarray(skb.kind) == pf.EV_JUMP]
+    assert arb.mean() > 0.8, arb.mean()
+
+
 def test_ecmc_gaussian_moments():
     sampler = pf.ForwardECMCAD(DIM, potentials.gauss)
     v0 = np.ones(DIM) / np.sqrt(DIM)  # unit speed, as in test_quick.jl
