@@ -52,18 +52,30 @@ def scaling_table(rows):
             f"| {_fmt(r['B'])} | {_fmt(r['events_per_sec'], 0)} | {_fmt(r['speedup_vs_B1'], 1)}x |"
             for r in batch
         ]
-    if mesh:
+    for platform in ("tpu", "cpu"):
+        pm = [r for r in mesh if r["platform"] == platform]
+        if not pm:
+            continue
+        label = ("Device-mesh, real TPU ({} chains/device; a 1-chip mesh "
+                 "runs at the unsharded per-chip rate — scale-out adds no "
+                 "per-device overhead)" if platform == "tpu" else
+                 "Device-mesh, 8-VIRTUAL-device CPU host ({} chains/device; "
+                 "virtual devices share one physical CPU, so wall-clock "
+                 "'efficiency' here measures host-core contention, not ICI "
+                 "scaling — the multi-chip linear-scaling claim is the "
+                 "compile-checked absence of collectives in the fill, "
+                 "tests/test_parallel.py)").format(
+                     pm[0]["chains_per_device"])
         out += [
             "",
-            f"Device-mesh weak scaling ({mesh[0]['platform']}, "
-            f"{mesh[0]['chains_per_device']} chains/device):",
+            label + ":",
             "",
             "| devices | events/s | weak-scaling efficiency |",
             "|---|---|---|",
         ]
         out += [
             f"| {r['n_devices']} | {_fmt(r['events_per_sec'], 0)} | {_fmt(r['weak_scaling_efficiency'], 2)} |"
-            for r in mesh
+            for r in pm
         ]
     return "\n".join(out)
 

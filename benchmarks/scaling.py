@@ -12,10 +12,16 @@ Two axes, honestly labeled for the hardware actually available:
    ``chains`` mesh axis at n = 1, 2, 4, 8 devices (real devices when a
    multi-chip slice is attached; the 8-virtual-device CPU mesh otherwise —
    the standard JAX fake-device trick, marked ``platform: "cpu"`` in the
-   output so nobody mistakes it for silicon).  Fixed per-device load (weak
-   scaling): aggregate events/s should grow ~linearly since chains need
-   zero inter-device communication (collectives touch only the reduced
-   diagnostics).
+   output so nobody mistakes it for silicon).  Honesty note for the CPU
+   rows: 8 virtual devices SHARE one physical CPU, so their wall-clock
+   "weak-scaling efficiency" measures host-core contention (8 independent
+   event loops time-slicing one chip trend toward 1/n), not ICI scaling.
+   The linear-scaling claim for real multi-chip meshes is structural and
+   compile-checked instead: the per-device fill's HLO contains NO
+   cross-device collectives
+   (tests/test_parallel.py::test_sharded_stream_fill_has_no_collectives),
+   and a 1-real-chip mesh runs at the unsharded per-chip rate (the
+   ``device_mesh``/``tpu`` row vs ``bench.py``).
 
 Writes ``benchmarks/scaling_results.json``.
 """
@@ -44,6 +50,9 @@ def batch_scaling(pf, jnp, jax, n_ev=1024):
         kw = dict(dtype=jnp.float32,
                   backend="auto" if jax.devices()[0].platform == "tpu" else "xla")
         pf.sample_skeleton(sampler, n_ev, x0, v0, seed=0, **kw)  # compile
+        # second warmup compiles the ratio-adapted fill geometry (see
+        # api._sample_skeleton_events_stream) so the timed run is clean
+        pf.sample_skeleton(sampler, n_ev, x0, v0, seed=0, **kw)
         t0 = time.perf_counter()
         skel = pf.sample_skeleton(sampler, n_ev, x0, v0, seed=1, **kw)
         total = int(np.asarray(skel.n_valid).sum()) - B
@@ -76,6 +85,8 @@ def mesh_scaling(pf, jnp, jax, n_ev=512, per_dev=256, n_list=(1, 2, 4, 8)):
         x0, v0 = np.zeros((B, 10)), np.ones((B, 10))
         sample_skeleton_sharded(sampler, n_ev, x0, v0, seed=0, mesh=mesh,
                                 dtype=jnp.float32)  # compile
+        sample_skeleton_sharded(sampler, n_ev, x0, v0, seed=0, mesh=mesh,
+                                dtype=jnp.float32)  # adapted-geometry compile
         t0 = time.perf_counter()
         run = sample_skeleton_sharded(sampler, n_ev, x0, v0, seed=1, mesh=mesh,
                                       dtype=jnp.float32)

@@ -685,12 +685,17 @@ def _compact_rows_gather(stream: Skeleton, n_keep: int,
     and touches HBM exactly once each way — XLA's row gather on the
     second-minor axis serializes at ~30 GB/s effective (measured, d=1000).
     """
+    from ..ops.pallas import compact as pc
+
     use_kernel = (jax.default_backend() == "tpu"
-                  and n_keep <= stream.kind.shape[1])
+                  and n_keep <= stream.kind.shape[1]
+                  # huge fills overflow the kernel's scoped VMEM — predicted
+                  # here, not caught (the overflow crashes remote compiles)
+                  and pc.kernel_fits(stream.kind.shape[1],
+                                     stream.x.shape[-1]))
     if not use_kernel:
         out = _gather_fields(stream, n_keep, init_ev, _ROW_FIELDS)
         return Skeleton(**out, n_valid=stream.n_valid)
-    from ..ops.pallas import compact as pc
 
     kind = stream.kind
     T = kind.shape[1]

@@ -23,7 +23,10 @@ class SpeedUpZigZag(ZigZag):
         self._suzz_flow = make_suzz_flow(dim)
 
     def _grad_eff(self, x):
-        s = jnp.sqrt(1.0 + jnp.dot(x, x))
+        # jnp.sum(x * x), not jnp.dot: this map runs inside the fused
+        # Pallas kernel, where a vmapped 1-D dot fails to lower (see
+        # ops/flows.py make_suzz_flow note)
+        s = jnp.sqrt(1.0 + jnp.sum(x * x))
         return s * self.grad_U(x) - x / s
 
     def flow(self, x, v, t):

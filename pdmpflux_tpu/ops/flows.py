@@ -36,9 +36,12 @@ def make_suzz_flow(dim: int):
     """
 
     def flow(x, v, t):
+        # sums spelled elementwise (not jnp.dot): a vmapped 1-D dot becomes
+        # a dot_general whose dimension attribute Mosaic cannot serialize
+        # inside the fused Pallas kernel; mul+sum lowers as a clean reduce
         y = x - v[0] * x[0] * v
-        c = v[0] * jnp.dot(y, v)
-        a = (1.0 + jnp.dot(y, y)) / dim - (c * c) / (dim * dim)
+        c = v[0] * jnp.sum(y * v)
+        a = (1.0 + jnp.sum(y * y)) / dim - (c * c) / (dim * dim)
         y0 = x[0] + c / dim
         b_t = (y0 + jnp.sqrt(y0 * y0 + a)) * jnp.exp(jnp.sqrt(float(dim)) * v[0] * t)
         x1 = (b_t * b_t - a) / (2.0 * b_t) - c / dim

@@ -99,6 +99,36 @@ def _kern_init(src_ref, m_ref, init_ref, out_ref, *, nbits: int, n_keep: int):
     out_ref[...] = jnp.concatenate([init_ref[...], body], axis=0)
 
 
+_SCOPED_BUDGET = 88 << 20
+"""Scoped-VMEM bound for one compaction program.  Mosaic's stack allocator
+keeps roughly one live ``(T, d_block)`` f32 temporary per unrolled shift
+pass (measured: T=3072 / d_block=512 / 13 planes allocates 69.6 MB), so
+the working-set model is ``~max(nbits - 1, 4) * T * d_block * 4`` bytes;
+the 100 MB ``vmem_limit_bytes`` below leaves headroom over this bound."""
+
+
+def _pick_d_block(T: int, d: int) -> int | None:
+    """Widest lane block whose FULL working set (including the live
+    per-pass temporaries, see :data:`_SCOPED_BUDGET`) fits scoped VMEM, or
+    None when even 64 lanes do not (callers fall back to the XLA gather).
+    Fewer, fatter programs win (per-program overhead is ~tens of us)."""
+    nbits = max(1, int(T - 1).bit_length())
+    per_elem = 4 * max(nbits - 1, 4)
+    if T * d * per_elem <= _SCOPED_BUDGET:
+        return d
+    for cand in (1024, 512, 256, 128, 64):
+        if cand < d and T * cand * per_elem <= _SCOPED_BUDGET:
+            return cand
+    return None
+
+
+def kernel_fits(T: int, d: int) -> bool:
+    """Can the log-shift kernel run at this shape without overflowing
+    scoped VMEM?  (A genuine overflow surfaces as a compile-helper crash
+    through remote-compile tunnels, so it must be predicted, not caught.)"""
+    return _pick_d_block(T, d) is not None
+
+
 def compact_field(a, masks, n_keep: int, init_row=None,
                   interpret: bool = False):
     """Apply the precomputed log-shift masks to one ``(B, T, d)`` field and
@@ -110,19 +140,13 @@ def compact_field(a, masks, n_keep: int, init_row=None,
     nbits = masks.shape[1] - 1  # last plane is row validity
     if n_keep > T:
         raise ValueError(f"n_keep={n_keep} must be <= T={T}")
-    # Widest lane block whose in+out working set fits comfortably in VMEM:
-    # per-program overhead (~tens of us) dominates when the grid is large,
-    # so fewer, fatter programs win (measured: 1024 programs of (T, 128)
-    # ran at ~32 GB/s; B programs of (T, d) approach DMA speed).
-    budget = 24 << 20
-    if T * d * 4 * 2 <= budget:
-        d_block = d
-    else:
-        d_block = 128
-        for cand in (1024, 512, 256):
-            if T * cand * 4 * 2 <= budget:
-                d_block = cand
-                break
+    d_block = _pick_d_block(T, d)
+    if d_block is None:
+        raise ValueError(
+            f"log-shift compaction kernel does not fit scoped VMEM at "
+            f"T={T}, d={d}; use the XLA gather path (engine checks "
+            f"kernel_fits first)"
+        )
     grid = (B, pl.cdiv(d, d_block))
     src_spec = pl.BlockSpec((None, T, d_block), lambda b, j: (b, 0, j))
     m_spec = pl.BlockSpec((1, nbits + 1, T), lambda b, j: (b, 0, 0))
@@ -137,7 +161,7 @@ def compact_field(a, masks, n_keep: int, init_row=None,
             out_shape=jax.ShapeDtypeStruct((B, n_keep, d), a.dtype),
             interpret=interpret,
             compiler_params=None if interpret else pltpu.CompilerParams(
-                vmem_limit_bytes=64 << 20
+                vmem_limit_bytes=100 << 20
             ),
         )(a, masks)
     kern = functools.partial(_kern_init, nbits=nbits, n_keep=n_keep)
@@ -153,6 +177,6 @@ def compact_field(a, masks, n_keep: int, init_row=None,
         out_shape=jax.ShapeDtypeStruct((B, n_keep + 1, d), a.dtype),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=64 << 20
+            vmem_limit_bytes=100 << 20
         ),
     )(a, masks, init_row.astype(a.dtype))

@@ -127,9 +127,9 @@ def _per_lane_floats(sampler, kind: str, chunk: int,
     With ``ev_space="vmem"`` the estimate is dominated by the event-stream
     blocks (``2d + 12`` floats per transition, ``+d`` for the sticky
     activity stream); with ``"hbm"`` those ``(K, d, tile)`` blocks move off
-    VMEM (double-buffered per-transition DMA) and only the small scalar
-    event blocks (12/lane/transition) plus the ``(2, d, tile)`` staging
-    scratches remain.  The envelope build streams over grid points (two
+    VMEM (pipelined per-transition DMA with deferred waits) and only the
+    small scalar event blocks (12/lane/transition) plus the ``(d, tile)``
+    staging scratches remain.  The envelope build streams over grid points (two
     live at a time), so it costs ``O(d)`` not ``O(n_grid * d)``.  Measured
     calibration: dim-50 grid-9 vectorized at tile 512 / chunk 32 compiles
     at ~13 MB (fits); dim-1000 sticky at tile 128 / chunk 8 in hbm mode
@@ -138,14 +138,14 @@ def _per_lane_floats(sampler, kind: str, chunk: int,
     sticky = bool(getattr(sampler, "sticky", False))
     vect = kind in ("zigzag", "suzz")
     if vect:
-        n_u = d + 2 + (d if sticky else 0)
+        n_u = 4  # one inverse-CDF uniform per categorical draw
     elif kind == "ecmc":
         n_u = 6 + 6 * d
     else:
         n_u = 3 + 2 * d
     n_big = 3 if sticky else 2
     if ev_space == "hbm":
-        ev_term = chunk * 12 + 2 * n_big * d
+        ev_term = chunk * 12 + n_big * d
     else:
         ev_term = chunk * (2 * d + 12 + (d if sticky else 0))
     return (
@@ -283,11 +283,18 @@ def launch_candidates(sampler, B: int):
 
 
 def is_vmem_error(e: Exception) -> bool:
-    """Does this exception look like a Mosaic/XLA VMEM exhaustion (the
-    compile-time error a too-fat kernel geometry raises)?"""
+    """Does this exception look like a kernel-compile rejection — VMEM
+    exhaustion, a Mosaic lowering failure, or (through the axon remote-
+    compile tunnel) the compile-helper subprocess crash that a genuinely
+    unlowerable/oversized kernel surfaces as?  All of these mean "this
+    geometry/kernel doesn't compile here": the caller degrades to the next
+    candidate (ending at the XLA engine), never failing the run."""
     s = str(e).lower()
     return ("vmem" in s
-            or ("mosaic" in s and ("exceed" in s or "alloc" in s)))
+            or ("mosaic" in s and ("exceed" in s or "alloc" in s))
+            or "unimplemented primitive in pallas" in s
+            or "tpu_compile_helper" in s
+            or type(e).__name__ == "MosaicError")
 
 
 def make_stream_call(sampler, B: int, t_cap: int, target: int,

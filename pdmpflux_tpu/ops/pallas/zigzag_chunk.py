@@ -163,10 +163,45 @@ def _box_muller(u1, u2):
     return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
 
 
+def _cumsum_rows(a):
+    """Inclusive prefix sum over the sublane (row) axis via log-shift
+    passes (Mosaic has no cumsum primitive; static-slice shifted adds
+    lower cleanly)."""
+    n = a.shape[0]
+    step = 1
+    while step < n:
+        pad = jnp.zeros((step,) + a.shape[1:], a.dtype)
+        a = a + jnp.concatenate([pad, a[:-step]], axis=0)
+        step <<= 1
+    return a
+
+
+def _categorical_rows(w, u):
+    """Per-lane categorical draw over rows, ``P(i) = w[i] / sum(w)``, from
+    ONE ``(TB,)`` uniform via inverse CDF: ``O(log d)`` shifted adds +
+    one compare/sum.  Replaces the gumbel-argmax formulation whose
+    per-transition Threefry field on ``(d, TB)`` grids dominated kernel
+    time at d=1000 (~100 uint ops per element just for the bits).  Rows
+    with ``w == 0`` have zero CDF mass and are never picked; all-zero
+    lanes return row ``d - 1`` (callers mask those)."""
+    c = _cumsum_rows(w)
+    # positive static index: a negative index lowers to dynamic_slice,
+    # which Mosaic cannot lower
+    thresh = u * c[w.shape[0] - 1]
+    m = jnp.sum((c <= thresh[None, :]).astype(jnp.int32), axis=0)
+    return jnp.minimum(m, w.shape[0] - 1)
+
+
 def _normalize_lanes(u, eps=0.0):
     """Normalize each lane's ``(d,)`` column of a ``(d, TB)`` block; zero
-    columns pass through unchanged.  Returns (unit, norm)."""
-    n = jnp.sqrt(jnp.sum(u * u, axis=0))
+    columns pass through unchanged.  Returns (unit, norm).
+
+    The sublane sum uses log-shift adds rather than ``jnp.sum(axis=0)``:
+    Mosaic crashes compiling the reduce at this point of the ECMC jump
+    (blamed line = this sum; the identical reduce in the BPS rate lowers
+    fine — a layout-dependent compiler bug worked around here)."""
+    sq = u * u
+    n = jnp.sqrt(_cumsum_rows(sq)[sq.shape[0] - 1])
     return u / jnp.where(n > eps, n, 1.0)[None, :], n
 
 
@@ -195,7 +230,7 @@ def _make_kernel(grad_vec: Callable, flow_vec: Callable, *, n_grid: int,
 
     ``kind``:
       * ``"zigzag"``/``"suzz"`` — per-dimension vectorized rates
-        ``grad_like(x_t) * v_t``, gumbel-argmax coordinate flip;
+        ``grad_like(x_t) * v_t``, inverse-CDF coordinate flip;
       * ``"bps"``/``"boomerang"`` — scalar-dot rate
         ``<grad_like(x_t), v_t> (+ refresh)`` with the bounce-or-refresh
         velocity kernel (BouncyParticleSamplers.jl:39-74 /
@@ -438,11 +473,12 @@ def _make_kernel(grad_vec: Callable, flow_vec: Callable, *, n_grid: int,
             # Per-transition randomness: pure threefry counters salted by the
             # loop index (Mosaic supports no dynamic_slice on values, and the
             # stateful TPU PRNG is unreliable inside lax loops).  Rows:
-            # zigzag: [exp, accept, d gumbels] (+ d thaw gumbels if sticky);
+            # zigzag: [_, accept, flip-u, thaw-u] (categorical draws use one
+            #         inverse-CDF uniform each — see _categorical_rows);
             # bps:    [exp, accept, bounce, 2d Box-Muller uniforms];
             # ecmc:   [exp, accept, rho1, rho2, mix, theta, 6d BM uniforms].
             if vect:
-                n_u = dim + 2 + (dim if sticky else 0)
+                n_u = 4
             elif kind == "ecmc":
                 n_u = 6 + 6 * dim
             else:
@@ -469,18 +505,12 @@ def _make_kernel(grad_vec: Callable, flow_vec: Callable, *, n_grid: int,
 
             # ---- velocity jump -------------------------------------------
             if vect:
-                # gumbel-argmax coordinate flip over per-dim rates (masked
-                # by activity for sticky runs — models/zigzag.py:67-78)
+                # inverse-CDF coordinate flip over per-dim rates (masked
+                # by activity for sticky runs — models/zigzag.py:67-78);
+                # same law as the Categorical flip, one uniform per lane
                 v_for_rate = v_flow * act if sticky else v_flow
                 rates_flip = jnp.maximum(grad_fn(x_new) * v_for_rate, 0.0)
-                u_g = u_row[2 : 2 + dim]
-                gumbel = -jnp.log(-jnp.log(u_g))
-                logits = jnp.where(
-                    rates_flip > 0,
-                    jnp.log(jnp.where(rates_flip > 0, rates_flip, 1.0)),
-                    -jnp.inf,
-                )
-                m = jnp.argmax(logits + gumbel, axis=0)  # (TB,)
+                m = _categorical_rows(rates_flip, u_row[2])  # (TB,)
                 onehot = (
                     jax.lax.broadcasted_iota(jnp.int32, (dim, TB), 0)
                     == m[None, :]
@@ -590,15 +620,11 @@ def _make_kernel(grad_vec: Callable, flow_vec: Callable, *, n_grid: int,
                 iota_d = jax.lax.broadcasted_iota(jnp.int32, (dim, TB), 0)
                 stick_hot = iota_d == i_stick[None, :]
                 # thaw-coordinate choice ∝ kappa among frozen coordinates
-                # (StickySamplingLoop.jl:136-164) via gumbel-argmax
+                # (StickySamplingLoop.jl:136-164) via one-uniform inverse
+                # CDF (see _categorical_rows)
                 kap_b = jnp.broadcast_to(kappa, (dim, TB))
-                g_thaw = -jnp.log(-jnp.log(u_row[2 + dim : 2 + 2 * dim]))
-                logit_k = jnp.where(
-                    (act > 0) | (kap_b <= 0),
-                    -jnp.inf,
-                    jnp.log(jnp.where(kap_b > 0, kap_b, 1.0)),
-                )
-                i_thaw = jnp.argmax(logit_k + g_thaw, axis=0)
+                w_thaw = jnp.where(act > 0, 0.0, kap_b)
+                i_thaw = _categorical_rows(w_thaw, u_row[3])
                 thaw_hot = iota_d == i_thaw[None, :]
                 act_new = jnp.where(
                     stick_hot & p_stick[None, :],
@@ -717,36 +743,37 @@ def _make_kernel(grad_vec: Callable, flow_vec: Callable, *, n_grid: int,
             # rows of the kind block: [kind, rejected, errored, hitting]
             ev_kind[k] = jnp.stack([kval, rej_new, err_new, hit_new], axis=0)
             if n_big:
-                # Double-buffered HBM event-stream DMA (VERDICT r3 item 3):
-                # stage each (d, TB) row in slot k%2 of a 2-slot VMEM
-                # scratch and start its copy to the HBM stream at
-                # [k, :, lane-tile]; the WAIT happens two transitions later,
-                # just before that slot is overwritten, so a full
-                # transition's envelope/thinning work overlaps the copy
-                # (the old stage-start-wait-in-place form exposed the full
-                # DMA latency every transition).
+                # Pipelined HBM event-stream DMA (VERDICT r3 item 3): the
+                # WAIT for transition k-1's copy happens here — just before
+                # its staging scratch is overwritten with transition k's
+                # row — so (almost) a full transition's envelope/thinning
+                # work overlaps each copy.  The old stage-start-wait-
+                # in-place form exposed the full DMA latency every
+                # transition.  Single-slot scratch: Mosaic cannot lower a
+                # dynamically indexed scratch slot (a 2-slot rotation
+                # crashes the compiler), and the deferred wait already
+                # hides the latency behind the next transition's compute.
                 lane0 = tile * TB
-                slot = jax.lax.rem(k, 2)
                 vals = (x_new, v_new) + ((act_new,) if sticky else ())
                 big_refs = (ev_x, ev_v) + ((ev_act,) if sticky else ())
 
-                @pl.when(k >= 2)
+                @pl.when(k >= 1)
                 def _drain_prev():
                     for si, (s_ref, b_ref) in enumerate(zip(scr, big_refs)):
                         pltpu.make_async_copy(
-                            s_ref.at[slot],
-                            b_ref.at[k - 2, :, pl.ds(lane0, TB)],
-                            dma_sems.at[si, slot],
+                            s_ref,
+                            b_ref.at[k - 1, :, pl.ds(lane0, TB)],
+                            dma_sems.at[si],
                         ).wait()
 
                 for si, (s_ref, b_ref, val) in enumerate(
                     zip(scr, big_refs, vals)
                 ):
-                    s_ref[slot] = val
+                    s_ref[:] = val
                     pltpu.make_async_copy(
-                        s_ref.at[slot],
+                        s_ref,
                         b_ref.at[k, :, pl.ds(lane0, TB)],
-                        dma_sems.at[si, slot],
+                        dma_sems.at[si],
                     ).start()
             else:
                 ev_x[k] = x_new
@@ -787,16 +814,15 @@ def _make_kernel(grad_vec: Callable, flow_vec: Callable, *, n_grid: int,
                 0, K, body, (x, v, fs, iscal, ring)
             )
         if n_big:
-            # drain the in-flight DMAs of the last two transitions
+            # drain the in-flight DMA of the last transition
             big_refs_d = (ev_x, ev_v) + ((ev_act,) if sticky else ())
             lane0_d = tile * x.shape[1]
-            for kk in range(max(0, K - 2), K):
-                for si, (s_ref, b_ref) in enumerate(zip(scr, big_refs_d)):
-                    pltpu.make_async_copy(
-                        s_ref.at[kk % 2],
-                        b_ref.at[kk, :, pl.ds(lane0_d, x.shape[1])],
-                        dma_sems.at[si, kk % 2],
-                    ).wait()
+            for si, (s_ref, b_ref) in enumerate(zip(scr, big_refs_d)):
+                pltpu.make_async_copy(
+                    s_ref,
+                    b_ref.at[K - 1, :, pl.ds(lane0_d, x.shape[1])],
+                    dma_sems.at[si],
+                ).wait()
         x_out[:] = x
         v_out[:] = v
         fs_out[:] = fs
@@ -940,10 +966,8 @@ def run_chunk(seed, x, v, fs, iscal, ring, *, grad_vec, flow_vec, n_grid, K,
     scratch_shapes = []
     if ev_space == "hbm":
         n_big = 3 if sticky else 2
-        # 2-slot staging per stream for double-buffered DMA (see kernel)
-        scratch_shapes = [pltpu.VMEM((2, d, tile), dtype)
-                          for _ in range(n_big)]
-        scratch_shapes.append(pltpu.SemaphoreType.DMA((n_big, 2)))
+        scratch_shapes = [pltpu.VMEM((d, tile), dtype) for _ in range(n_big)]
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((n_big,)))
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
         in_specs=in_specs,

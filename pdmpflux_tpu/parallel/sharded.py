@@ -120,24 +120,25 @@ def _prep_sharded(sampler, xinit, vinit, mesh, seed, dtype):
     return state, counts, init_ev, B, d, n_shards
 
 
+@jax.jit
+def _skel_reduce(s: Skeleton):
+    valid = (jnp.arange(s.t.shape[1])[None, :] < s.n_valid[:, None])
+    return {
+        "events": jnp.sum(s.n_valid),
+        "ar_sum": jnp.sum(jnp.where(valid, s.ar, 0.0)),
+        "rejected": jnp.sum(jnp.where(valid, s.rejected, 0)),
+        "errored_bound": jnp.sum(jnp.where(valid, s.errored_bound, 0)),
+        "hitting_horizon": jnp.sum(jnp.where(valid, s.hitting_horizon, 0)),
+    }
+
+
 def _skeleton_stats(skel: Skeleton) -> dict:
     """Globally reduced diagnostics from a chain-sharded skeleton (XLA SPMD
-    inserts the cross-device reductions; one fused host fetch)."""
-
-    def reduce(s: Skeleton):
-        valid = (jnp.arange(s.t.shape[1])[None, :] < s.n_valid[:, None])
-        return {
-            "events": jnp.sum(s.n_valid),
-            "ar_sum": jnp.sum(jnp.where(valid, s.ar, 0.0)),
-            "rejected": jnp.sum(jnp.where(valid, s.rejected, 0)),
-            "errored_bound": jnp.sum(jnp.where(valid, s.errored_bound, 0)),
-            "hitting_horizon": jnp.sum(
-                jnp.where(valid, s.hitting_horizon, 0)
-            ),
-        }
-
+    inserts the cross-device reductions; one fused host fetch).  The reduce
+    is a module-level jit: a per-call ``jax.jit(...)`` would recompile on
+    every invocation (~0.5 s each through a remote-compile tunnel)."""
     stats = {k: np.asarray(v)
-             for k, v in jax.device_get(jax.jit(reduce)(skel)).items()}
+             for k, v in jax.device_get(_skel_reduce(skel)).items()}
     stats["mean_ar"] = float(
         stats["ar_sum"] / np.maximum(stats["events"], 1)
     )
@@ -204,7 +205,16 @@ def _sharded_events(
         (_device_bytes_budget() / max(B_local * row_bytes, 1) - (target + 1))
         / 2
     )
-    t_cap = max(chunk, -(-int(max(target, 1) * 1.8 + 64) // chunk) * chunk)
+    # adaptive transition margin (see api._sample_skeleton_events_stream):
+    # completed runs record events-per-transition; later fills shrink from
+    # the cold 1.8x margin to ~1.15x what the config actually needs
+    ratio = (getattr(sampler, "_fill_ratio", None)
+             if jax.devices()[0].platform == "tpu" else None)
+    margin = 1.8 if not ratio else min(1.8, max(1.1, 1.15 / ratio))
+    align = 256 if target >= 256 else chunk  # bound distinct geometries
+    align = max(align, chunk)
+    t_cap = max(chunk,
+                -(-int(max(target, 1) * margin + 64) // align) * align)
     t_cap = min(t_cap, max(chunk, budget_rows // chunk * chunk))
 
     cache_key = ("sharded_stream_fill", t_cap, target, launch, id(mesh))
@@ -274,6 +284,9 @@ def _sharded_events(
             )
         if done.all():
             exhausted = False
+            sampler._fill_ratio = min(
+                1.0, target / max(int(transitions.max()), 1)
+            )
             break
         if int(np.asarray(tr_host).sum()) == 0:
             exhausted = False

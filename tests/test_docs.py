@@ -28,6 +28,7 @@ DOCS = sorted(
 
 # Shrink doc-scale workloads to test-scale ones (docs keep honest sizes).
 _SUBSTITUTIONS = [
+    ("10_000_000", "600"),
     ("100_000", "600"),
     ("8192", "16"),
     ("4096", "64"),

@@ -262,6 +262,41 @@ def test_checkpoint_resume_horizon_bit_exact(sampler, tmp_path, monkeypatch):
         np.testing.assert_array_equal(x_r[b, : nv[b]], x[b, : nv[b]])
 
 
+def test_sharded_stream_fill_has_no_collectives(sampler):
+    """Zero-communication proof (the honest linear-scaling statement a
+    single-host virtual mesh can make): the per-device stream fill lowers
+    to HLO with NO cross-device collectives — aggregate events/s is linear
+    in devices by construction, because devices never interact during
+    simulation.  (Virtual-device wall-clock 'efficiency' on one CPU host
+    measures host-core contention, not ICI scaling — see
+    benchmarks/scaling.py.)"""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = mesh_lib.make_mesh(8, 1)
+    B, t_cap, target = 16, 64, 50
+    state = sampler.init_state_batch(
+        np.zeros((B, DIM)), np.ones((B, DIM)), seed=0
+    )
+    state = jax.device_put(state, mesh_lib.state_shardings(mesh))
+    counts = jax.device_put(
+        jnp.zeros((B,), jnp.int32),
+        jax.sharding.NamedSharding(mesh, P(mesh_lib.CHAIN_AXIS)),
+    )
+    fill = sharded._make_fill(
+        sampler, t_cap, target, "events", B // 8, DIM, state.x.dtype, None
+    )
+    spec = P(mesh_lib.CHAIN_AXIS)
+    shm = jax.shard_map(
+        fill, mesh=mesh, in_specs=(spec, spec, P()),
+        out_specs=(spec, spec, spec, spec), check_vma=False,
+    )
+    tt = jnp.zeros((), state.x.dtype)
+    hlo = jax.jit(shm).lower(state, counts, tt).compile().as_text()
+    for coll in ("all-reduce", "all-gather", "collective-permute",
+                 "all-to-all"):
+        assert coll not in hlo, f"unexpected collective {coll} in fill HLO"
+
+
 def test_gspmd_dim_sharding_inserts_collectives():
     """The GSPMD path's claim is that XLA partitions the dim axis and
     inserts the collectives for the rate dot products (VERDICT r1 weak 7).
