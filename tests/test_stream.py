@@ -127,6 +127,38 @@ def test_stream_host_accumulation_matches_device(monkeypatch):
     np.testing.assert_allclose(np.asarray(s_host.ar), np.asarray(s_dev.ar))
 
 
+def test_one_shot_fused_path_matches_general(monkeypatch):
+    """The fused one-shot fast path (init + fill + compaction as ONE
+    dispatched program; TPU-only by default, forced here with
+    PDMPFLUX_TEST_ONE_SHOT) is bit-exact with the general loop, including
+    the straggler handoff when the fill is too small for the whole run."""
+    from pdmpflux_tpu import api
+
+    dim, Bc, n_sk = 4, 8, 200
+    x0, v0 = np.zeros((Bc, dim)), np.ones((Bc, dim))
+    U = lambda x: jnp.sum(x * x) / 2
+
+    monkeypatch.setenv("PDMPFLUX_FORCE_STREAM", "1")
+    ref = pf.sample_skeleton(pf.ZigZagAD(dim, U), n_sk, x0, v0, seed=3)
+
+    monkeypatch.setenv("PDMPFLUX_TEST_ONE_SHOT", "1")
+    one = pf.sample_skeleton(pf.ZigZagAD(dim, U), n_sk, x0, v0, seed=3)
+    np.testing.assert_array_equal(np.asarray(ref.n_valid),
+                                  np.asarray(one.n_valid))
+    np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(one.t))
+    np.testing.assert_array_equal(np.asarray(ref.x), np.asarray(one.x))
+    np.testing.assert_array_equal(np.asarray(ref.kind), np.asarray(one.kind))
+
+    # straggler handoff: shrink the budget so t_cap < the transitions the
+    # run needs (but est_peak still admits device accumulation) — the
+    # one-shot's partial accumulator continues through the merge loop
+    monkeypatch.setenv("PDMPFLUX_DEVICE_BYTES", "1200000")
+    multi = pf.sample_skeleton(pf.ZigZagAD(dim, U), n_sk, x0, v0, seed=3)
+    np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(multi.t))
+    np.testing.assert_array_equal(np.asarray(ref.kind),
+                                  np.asarray(multi.kind))
+
+
 def _random_stream(key, B, T, d, p_event=0.7):
     ks = jax.random.split(key, 8)
     return engine.Skeleton(
