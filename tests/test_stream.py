@@ -159,6 +159,36 @@ def test_one_shot_fused_path_matches_general(monkeypatch):
                                   np.asarray(multi.kind))
 
 
+def test_one_shot_horizon_matches_general(monkeypatch):
+    """Horizon-mode one-shot (init + fill + compaction fused; finalize as a
+    second fused dispatch) is bit-exact with the general loop, including
+    the straggler handoff into the merge loop."""
+    dim, Bc, T = 3, 4, 10.0
+    x0, v0 = np.zeros((Bc, dim)), np.ones((Bc, dim))
+    U = lambda x: jnp.sum(x * x) / 2
+
+    monkeypatch.setenv("PDMPFLUX_FORCE_STREAM", "1")
+    ref = pf.sample_skeleton(pf.ZigZagAD(dim, U), T, x0, v0, seed=0,
+                             init_capacity=512)
+
+    monkeypatch.setenv("PDMPFLUX_TEST_ONE_SHOT", "1")
+    one = pf.sample_skeleton(pf.ZigZagAD(dim, U), T, x0, v0, seed=0,
+                             init_capacity=512)
+    strag = pf.sample_skeleton(pf.ZigZagAD(dim, U), T, x0, v0, seed=0,
+                               init_capacity=64)
+    nv = np.asarray(ref.n_valid)
+    for skel in (one, strag):
+        np.testing.assert_array_equal(nv, np.asarray(skel.n_valid))
+        t_r, t_s = np.asarray(ref.t), np.asarray(skel.t)
+        x_r, x_s = np.asarray(ref.x), np.asarray(skel.x)
+        for b in range(Bc):
+            np.testing.assert_allclose(t_s[b, : nv[b]], t_r[b, : nv[b]],
+                                       rtol=1e-12)
+            np.testing.assert_allclose(x_s[b, : nv[b]], x_r[b, : nv[b]],
+                                       rtol=1e-12)
+            assert abs(t_s[b, nv[b] - 1] - T) < 1e-9
+
+
 def _random_stream(key, B, T, d, p_event=0.7):
     ks = jax.random.split(key, 8)
     return engine.Skeleton(
