@@ -159,7 +159,15 @@ def _per_lane_floats(sampler, kind: str, chunk: int,
 VMEM_SWEET_BYTES = 14 * (1 << 20)
 """Preferred working-set estimate: geometries under this are reliably fast
 (v5e measurements: dim-10 tile-512 24.7M ev/s, dim-50 tile-256 5.96M vs
-3.34M at the 18 MB tile-512 estimate, dim-100 sticky tile-128 fused)."""
+3.34M at the 18 MB tile-512 estimate, dim-100 sticky tile-128 fused).
+
+Known dim-1000 anomaly (r4, reproducible): the PLAIN ZigZag kernel fill at
+d=1000/tile-128 runs 2.4x SLOWER than the sticky variant (0.29 s vs
+0.12 s per 2048-row fill) despite doing strictly less work — the ~2.2M
+ev/s sticky ceiling is therefore a Mosaic scheduling artifact, not an
+op-count limit.  Geometry (chunk 8-128, vmem/hbm) and grid-size sweeps
+move it by <10%; the next lever is kernel instruction scheduling (fusing
+the freeze-select chains), not more math reduction."""
 
 
 def _vmem_budget() -> int:
