@@ -216,9 +216,14 @@ def pick_launch(sampler, B: int):
     # Two passes: prefer geometries inside the sweet working-set budget
     # (measured fastest), then accept anything up to the hard ceiling
     # (slower but still far above the XLA fallback — e.g. the dim-1000
-    # sticky flagship at tile=128/chunk=8).
+    # sticky flagship at tile=128/chunk=8).  At large d, prefer HBM event
+    # streams first: VMEM streams force tiny chunks there, and tiny
+    # chunks are pathologically slow for some kernels (measured r4: plain
+    # ZigZag d=1000 runs 0.90M ev/s at (vmem, chunk 8) vs 1.75M at
+    # (hbm, chunk 32); sticky is insensitive, ~2.1M either way).
+    spaces = ("hbm", "vmem") if sampler.dim >= 512 else ("vmem", "hbm")
     for cap in (min(VMEM_SWEET_BYTES, budget), budget):
-        for ev_space in ("vmem", "hbm"):
+        for ev_space in spaces:
             for chunk in (32, 16, 8, 4):
                 for tile in (512, 256, 128):
                     if B % tile:
@@ -273,8 +278,9 @@ def launch_candidates(sampler, B: int):
         return [None]
     budget = _vmem_budget()
     seen, out = set(), []
+    spaces = ("hbm", "vmem") if sampler.dim >= 512 else ("vmem", "hbm")
     for cap in (min(VMEM_SWEET_BYTES, budget), budget):
-        for ev_space in ("vmem", "hbm"):
+        for ev_space in spaces:
             for chunk in (32, 16, 8, 4):
                 for tile in (512, 256, 128):
                     if B % tile:
