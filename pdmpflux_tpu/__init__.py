@@ -51,6 +51,7 @@ from .models import (
 
 from . import diagnostics, parallel, plotting, utils
 from .diagnostics import RV_diagnostic, diagnostic, ess, ess_per_dim
+from .streaming import sample_streaming_stats, streaming_summary
 from .plotting import (
     anim_traj,
     anim_traj_,
@@ -67,6 +68,8 @@ __all__ = [
     "sample_from_skeleton",
     "sample_skeleton",
     "sample_skeleton_with_diagnostic",
+    "sample_streaming_stats",
+    "streaming_summary",
     "BoundBox",
     "Event",
     "PDMPState",
