@@ -157,6 +157,8 @@ def sample_skeleton_sharded(
     max_transitions_per_event: int = 256,
     init_capacity: int = 1024,
     verbose: bool = False,
+    checkpoint_path=None,
+    checkpoint_every: int = 4,
 ) -> ShardedRun:
     """Generate skeletons for a chain batch sharded over a device mesh,
     running the full-speed stream engine independently on every device.
@@ -166,13 +168,28 @@ def sample_skeleton_sharded(
     ``float`` asks for a time horizon with exact ``t = T`` terminal rows.
     ``xinit``/``vinit`` are ``(B, d)`` with ``B`` divisible by the number of
     devices on the ``chains`` mesh axis.
+
+    ``checkpoint_path`` (event-count mode): atomically save engine state +
+    accumulator every ``checkpoint_every`` fills and RESUME bit-exactly
+    from an existing file, exactly like the single-device driver
+    (``api.sample_skeleton``); the loaded state is resharded onto the mesh
+    by the fill's ``shard_map`` in-specs.
     """
     if mesh is None:
         mesh = mesh_lib.make_mesh()
+    ck = ((checkpoint_path, max(1, int(checkpoint_every)))
+          if checkpoint_path else None)
     if isinstance(n_or_T, (int, np.integer)) and not isinstance(n_or_T, bool):
         return _sharded_events(
             sampler, int(n_or_T), xinit, vinit, mesh, seed, dtype,
-            max_transitions_per_event, verbose,
+            max_transitions_per_event, verbose, ck,
+        )
+    if ck is not None:
+        import warnings
+
+        warnings.warn(
+            "checkpoint_path on sample_skeleton_sharded is only supported "
+            "in event-count mode; ignoring it for the time-horizon run."
         )
     return _sharded_horizon(
         sampler, float(n_or_T), xinit, vinit, mesh, seed, dtype,
@@ -181,7 +198,8 @@ def sample_skeleton_sharded(
 
 
 def _sharded_events(
-    sampler, n_events, xinit, vinit, mesh, seed, dtype, max_per_event, verbose
+    sampler, n_events, xinit, vinit, mesh, seed, dtype, max_per_event,
+    verbose, ck=None,
 ) -> ShardedRun:
     if n_events <= 0:
         raise ValueError(f"n_sk must be positive. Current value: {n_events}")
@@ -264,9 +282,18 @@ def _sharded_events(
     tt0 = jnp.zeros((), cdtype)
     acc = None
     transitions = np.zeros(n_shards, np.int64)
+    fills_done = 0
+    if ck is not None:
+        from ..api import _load_stream_checkpoint
+
+        loaded = _load_stream_checkpoint(ck[0], "sharded_events", target)
+        if loaded is not None:
+            state, acc, counts_np, fills_done = loaded
+            counts = jnp.asarray(counts_np, jnp.int32)
+            acc = acc._replace(n_valid=counts)
     max_fills = max(1, (int(target) * int(max_per_event)) // t_cap + 1)
     exhausted = True
-    for _ in range(max_fills):
+    for fill in range(fills_done, max_fills):
         prev_counts = counts
         state, stream, counts, tr = run_fill(state, counts, tt0)
         if acc is None:
@@ -276,6 +303,16 @@ def _sharded_events(
         counts_host, tr_host = jax.device_get((counts, tr))
         transitions += np.asarray(tr_host, np.int64)
         done = np.asarray(counts_host) >= target
+        if ck is not None and (fill + 1) % ck[1] == 0 and not done.all():
+            from ..api import _save_stream_checkpoint
+
+            _save_stream_checkpoint(
+                ck[0], "sharded_events", target, state, acc,
+                np.asarray(counts_host), fill + 1,
+            )
+        from ..api import _fail_after_fills
+
+        _fail_after_fills(fill + 1)
         if verbose:
             c = np.asarray(counts_host)
             print(

@@ -219,12 +219,14 @@ def sample_streaming_stats(
     dt_grid = T / n_samples
     x_ref = np.asarray(x.mean(axis=0), np.float32)
 
-    # Fill geometry: bounded by the device budget (stream + fold gathers
-    # live at once; ~4 stream-sized buffers peak).
+    # Fill geometry: bounded by the device budget.  Peak live buffers:
+    # fill k's stream (being folded) + the double-buffered fill k+1's input
+    # and output streams + fold gather temporaries — ~6 stream-sized
+    # allocations.
     itemsize = jnp.asarray(np.float64(0.0), dtype).dtype.itemsize
     row_bytes = (2 * d + 20) * itemsize + d
     if t_cap is None:
-        budget_rows = int(_device_bytes_budget() / max(B * row_bytes, 1) / 4)
+        budget_rows = int(_device_bytes_budget() / max(B * row_bytes, 1) / 6)
         t_cap = max(256, min(8192, budget_rows // 256 * 256))
     G = int(grid_chunk)
 
@@ -258,19 +260,34 @@ def sample_streaming_stats(
     Tv = jnp.asarray(T, jnp.float32)
     events = 0
     fills = 0
+
+    def launch(st):
+        """Dispatch one fill (async — no host round trip)."""
+        stream = engine.empty_stream(t_cap, d, st.x.dtype, B)
+        return runner(st, stream, jnp.zeros((B,), jnp.int32), Tv)
+
+    # Fills are double-buffered: fill k+1 is dispatched BEFORE fetching
+    # fill k's metadata, so the fetch round trip (the dominant per-fill
+    # overhead at ~20-40 ms through a remote-dispatch tunnel; measured 10 s
+    # of 45 s on the 278-fill dim-1000 gated run) overlaps fill k+1's
+    # device execution.  The fold only reads fill k's stream and the
+    # carried anchor, so it is dispatched behind fill k+1 with no hazard;
+    # when fill k turns out to have finished the horizon, the speculative
+    # fill ran on an all-frozen state — its while_loop exits at iteration
+    # 0 (one cheap no-op dispatch).
+    res_prev = launch(state)
     while True:
-        stream = engine.empty_stream(t_cap, d, state.x.dtype, B)
-        res = runner(state, stream, jnp.zeros((B,), jnp.int32), Tv)
-        new_state = res.state
-        # one fused fetch: per-chain committed clock, trajectory clock,
-        # fill event counts, transition total
+        new_state = res_prev.state
         t_traj_dev = new_state.t + new_state.ts
         t_host, traj_host, cnt_host, tr_host = jax.device_get(
-            (new_state.t, t_traj_dev, res.counts, res.transitions)
+            (new_state.t, t_traj_dev, res_prev.counts,
+             res_prev.transitions)
         )
         fills += 1
         events += int(np.asarray(cnt_host).sum())
         done = np.asarray(t_host) >= T
+        all_done = bool(done.all())
+        res_next = None if all_done else launch(new_state)
         # grid indices covered by this fill: trajectory reached t+ts, and a
         # finished chain's flow extends deterministically to T
         j_hi = np.minimum(
@@ -288,7 +305,7 @@ def sample_streaming_stats(
             j0 = int(j_lo.min())
             j_end = int(j_hi.max())
             for start in range(j0, j_end, G):
-                stats = fold(stats, res.stream, anchor, rows_written,
+                stats = fold(stats, res_prev.stream, anchor, rows_written,
                              jnp.asarray(start, jnp.int32), lo_dev, hi_dev)
         j_lo = j_hi
         anchor = _anchor_from_state(new_state)
@@ -299,10 +316,11 @@ def sample_streaming_stats(
                 f"/{T} grid {int(j_lo.min())}/{n_samples} "
                 f"(chains done: {int(done.sum())}/{B})"
             )
-        if bool(done.all()) and int(j_lo.min()) >= n_samples:
+        if all_done and int(j_lo.min()) >= n_samples:
             break
-        if int(tr_host) == 0 and not bool(done.all()):
+        if int(tr_host) == 0 and not all_done:
             raise RuntimeError("streaming sampling made no progress")
+        res_prev = res_next if res_next is not None else launch(state)
     sampler.state = state
     return StreamingRun(stats, state, events, fills, n_samples, n_burnin)
 

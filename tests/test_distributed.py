@@ -24,8 +24,10 @@ def _free_port():
         return s.getsockname()[1]
 
 
-@pytest.mark.extended
 def test_two_process_group():
+    # quick tier on purpose (~3 s): VERDICT r4 weak item 6 flagged the skip
+    # of this test as a monitoring hole — it must run on every suite pass,
+    # not only in the extended tier.
     port = _free_port()
     coordinator = f"127.0.0.1:{port}"
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
