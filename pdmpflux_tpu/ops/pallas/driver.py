@@ -332,6 +332,11 @@ def make_stream_call(sampler, B: int, t_cap: int, target: int,
         cands = cands[cands.index(picked):]
 
     def build(launch):
+        # The stream buffer is donated: every caller passes a fresh
+        # ``empty_stream`` per fill and only reads the RESULT stream, so
+        # the fill's dynamic_update_slice writes happen in place — without
+        # donation each fill holds input + output copies of a multi-GB
+        # buffer at large (B, t_cap, d), halving the fill size HBM admits.
         if launch is None:
             runner = sampler._cached(
                 ("xla_stream", t_cap, mode),
@@ -339,6 +344,7 @@ def make_stream_call(sampler, B: int, t_cap: int, target: int,
                     _engine.make_stream_runner(sampler, t_cap, chunk=64,
                                                mode=mode),
                     static_argnums=(3,) if mode == "events" else (),
+                    donate_argnums=(1,),
                 ),
             )
             if mode == "events":
@@ -354,7 +360,7 @@ def make_stream_call(sampler, B: int, t_cap: int, target: int,
             lambda: jax.jit(make_pallas_stream_runner(
                 sampler, t_cap, target, chunk=chunk, tile=tile, mode=mode,
                 ev_space=ev_space,
-            )),
+            ), donate_argnums=(1,)),
         )
         if mode == "events":
             return lambda st, stream, counts, tt=None: runner(

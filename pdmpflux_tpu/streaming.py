@@ -87,37 +87,39 @@ def make_fold_chunk(sampler, W: int, G: int, n_samples: int, n_batches: int,
                     n_burnin: int, dt_grid: float, x_ref):
     """Build the jitted fold of one grid chunk into the accumulators.
 
-    Signature: ``fold(stats, stream, anchor, rows_written, j0, j_lo, j_hi)
+    Signature: ``fold(stats, stream, anchor, rows_written, j_start, j_hi)
     -> stats`` where ``stream`` is the RAW fill (its rows are a valid
     skeleton, see ``core/engine.py``), ``anchor = (t, x, v, is_active)`` is
     the carried trajectory point covering grid times before the fill's
     first row, ``rows_written`` the written row count (traced scalar; the
-    runner's while_loop makes it fill-dependent), ``j0`` the chunk's first
-    grid index, and ``j_lo/j_hi (B,)`` the per-chain half-open range of
-    grid indices this fill newly covers.  Only indices in
-    ``[max(j_lo, n_burnin), j_hi)`` contribute.
+    runner's while_loop makes it fill-dependent), and ``j_start/j_hi (B,)``
+    the PER-CHAIN half-open grid window this fill newly covers.  Only
+    indices in ``[max(j_start, n_burnin), j_hi)`` contribute; the caller
+    guarantees ``j_hi <= j_start + G`` (per-chain windows keep the gather
+    volume at the points actually produced — a global window must span the
+    cross-chain spread too, which forced a second ~25 ms gather pass per
+    fill at dim 1000).
     """
     flow = sampler.flow
     n_post = max(n_samples - n_burnin, 1)
     x_ref = jnp.asarray(x_ref)
 
-    def fold(stats: StreamingStats, stream, anchor, rows_written, j0,
-             j_lo, j_hi):
+    def fold(stats: StreamingStats, stream, anchor, rows_written,
+             j_start, j_hi):
         at, ax, av, aa = anchor
         dtype = stream.t.dtype
         col = jnp.arange(W, dtype=jnp.int32)[None, :]
         tm = jnp.where(col < rows_written, stream.t,
                        jnp.asarray(jnp.inf, dtype))                # (B, W)
 
-        j = j0 + jnp.arange(G, dtype=jnp.int32)                    # (G,)
-        tg = (j + 1).astype(dtype) * jnp.asarray(dt_grid, dtype)   # (G,)
-        live = ((j[None, :] >= j_lo[:, None])
-                & (j[None, :] < j_hi[:, None])
-                & (j[None, :] >= n_burnin))                        # (B, G)
+        j = j_start[:, None] + jnp.arange(G, dtype=jnp.int32)[None, :]
+        tg = (j + 1).astype(dtype) * jnp.asarray(dt_grid, dtype)   # (B, G)
+        live = (j < j_hi[:, None]) & (j >= n_burnin)               # (B, G)
 
         idx = jax.vmap(
-            lambda trow: jnp.searchsorted(trow, tg, side="right") - 1
-        )(tm)                                                      # (B, G)
+            lambda trow, tgrow: jnp.searchsorted(
+                trow, tgrow, side="right") - 1
+        )(tm, tg)                                                  # (B, G)
         # idx == -1: the grid time precedes every fill row — covered by the
         # carried anchor instead of a stream row.
         use_anchor = idx < 0
@@ -138,7 +140,7 @@ def make_fold_chunk(sampler, W: int, G: int, n_samples: int, n_batches: int,
         # clamp: float32 grid/row-time rounding can leave tg a ulp past the
         # covering row's time; masked-out lanes flow by 0 (RHMC's Verlet
         # while_loop must not see garbage times)
-        tau = jnp.where(live, jnp.maximum(tg[None, :] - t_i, 0.0),
+        tau = jnp.where(live, jnp.maximum(tg - t_i, 0.0),
                         jnp.zeros((), dtype))
         v_used = jnp.where(a_i, v_i, jnp.zeros_like(v_i))
         xs, _ = jax.vmap(jax.vmap(flow))(x_i, v_used, tau)         # (B, G, d)
@@ -150,21 +152,23 @@ def make_fold_chunk(sampler, W: int, G: int, n_samples: int, n_batches: int,
 
         # post-burn-in ordinal of each grid index (clipped; masked-out
         # indices contribute zero weight regardless)
-        jp = jnp.clip(j - n_burnin, 0, n_post - 1)
-        half = jnp.clip(jp * 2 // n_post, 0, 1)                    # (G,)
+        jp = jnp.clip(j - n_burnin, 0, n_post - 1)                 # (B, G)
+        half = jnp.clip(jp * 2 // n_post, 0, 1)
         win = jnp.clip(jp * n_batches // n_post, 0, n_batches - 1)
-        oh_h = (half[:, None] == jnp.arange(2)[None, :]).astype(xs.dtype)
-        oh_w = (win[:, None]
-                == jnp.arange(n_batches)[None, :]).astype(xs.dtype)
+        oh_h = (half[:, :, None]
+                == jnp.arange(2)[None, None, :]).astype(xs.dtype)  # (B,G,2)
+        oh_w = (win[:, :, None]
+                == jnp.arange(n_batches)[None, None, :]).astype(xs.dtype)
 
         return StreamingStats(
             n_half=stats.n_half
-            + jnp.einsum("bg,gh->bh", w, oh_h).astype(jnp.int32),
-            sum_half=stats.sum_half + jnp.einsum("bgd,gh->bhd", xm, oh_h),
-            sumsq_half=stats.sumsq_half + jnp.einsum("bgd,gh->bhd", x2m, oh_h),
-            bsum=stats.bsum + jnp.einsum("bgd,gm->bmd", xm, oh_w),
+            + jnp.einsum("bg,bgh->bh", w, oh_h).astype(jnp.int32),
+            sum_half=stats.sum_half + jnp.einsum("bgd,bgh->bhd", xm, oh_h),
+            sumsq_half=stats.sumsq_half
+            + jnp.einsum("bgd,bgh->bhd", x2m, oh_h),
+            bsum=stats.bsum + jnp.einsum("bgd,bgm->bmd", xm, oh_w),
             bcount=stats.bcount
-            + jnp.einsum("bg,gm->bm", w, oh_w).astype(jnp.int32),
+            + jnp.einsum("bg,bgm->bm", w, oh_w).astype(jnp.int32),
         )
 
     return fold
@@ -176,6 +180,54 @@ def _anchor_from_state(state: PDMPState):
     past the last committed event — horizon moves), velocity/activity as
     stored.  Valid by the stream-row contract (``core/engine.py``)."""
     return (state.t + state.ts, state.x, state.v, state.is_active)
+
+
+def _save_streaming_checkpoint(path, state, stats, meta):
+    """Atomic checkpoint of a streaming run: engine state + accumulators +
+    a manifest (which carries the per-chain grid cursor).  The
+    interpolation anchor needs no saving — it is the state's own
+    trajectory point, which is what makes a fill boundary a consistent
+    cut."""
+    from .parallel.checkpoint import _flatten
+
+    arrays = _flatten("state", jax.device_get(state))
+    arrays.update(_flatten("stats", jax.device_get(stats)))
+    import json
+
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8
+    )
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+
+
+def _load_streaming_checkpoint(path, expect: dict):
+    """Load + validate a streaming checkpoint; returns
+    ``(state, stats, meta)`` or None (no file).  A file from a different
+    run configuration raises instead of silently sampling the wrong
+    thing."""
+    if not os.path.exists(path):
+        return None
+    import json
+
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        for k, v in expect.items():
+            if meta.get(k) != v:
+                raise ValueError(
+                    f"checkpoint at {path} was written for {k}="
+                    f"{meta.get(k)!r}, not this run's {k}={v!r}; delete it "
+                    "to start fresh."
+                )
+        sf = {f: jnp.asarray(z[f"state.{f}"]) for f in PDMPState._fields}
+        sf["key"] = jax.random.wrap_key_data(jnp.asarray(z["state.key"]))
+        state = PDMPState(**sf)
+        stats = StreamingStats(
+            *[jnp.asarray(z[f"stats.{f}"]) for f in StreamingStats._fields]
+        )
+    return state, stats, meta
 
 
 def sample_streaming_stats(
@@ -192,6 +244,8 @@ def sample_streaming_stats(
     t_cap: int | None = None,
     grid_chunk: int = 512,
     verbose: bool = False,
+    checkpoint_path=None,
+    checkpoint_every: int = 64,
 ) -> StreamingRun:
     """Run time-horizon sampling to ``t = T`` while folding equal-time
     samples into O(B * d) streaming accumulators; the skeleton is never
@@ -201,8 +255,18 @@ def sample_streaming_stats(
     ``burnin_frac`` fraction is excluded from the statistics (matching the
     benchmark sweep's burn-in discard).  Finalize with
     :func:`streaming_summary`.
+
+    ``checkpoint_path``: atomically save state + accumulators (+ the grid
+    cursor) about every ``checkpoint_every`` fills and RESUME bit-exactly
+    from an existing file.  Each save fetches the accumulators
+    (~``B * n_batches * d`` floats), so keep ``checkpoint_every`` large on
+    remote-tunneled devices.
     """
-    from .api import _device_bytes_budget, _prep_init
+    from .api import (
+        _device_bytes_budget,
+        _fail_after_fills,
+        _prep_init,
+    )
     from .ops.pallas import driver as pallas_driver
 
     if not (isinstance(T, (int, float)) and math.isfinite(T) and T > 0):
@@ -220,107 +284,198 @@ def sample_streaming_stats(
     x_ref = np.asarray(x.mean(axis=0), np.float32)
 
     # Fill geometry: bounded by the device budget.  Peak live buffers:
-    # fill k's stream (being folded) + the double-buffered fill k+1's input
-    # and output streams + fold gather temporaries — ~6 stream-sized
-    # allocations.
+    # fill k's stream (being folded) + the double-buffered fill k+1's
+    # in-place stream (the runner donates its input buffer) + fold gather
+    # temporaries — ~4 stream-sized allocations.  Bigger fills win: each
+    # fill pays a fixed launch + metadata-fetch overhead, so halving
+    # t_cap measurably LOWERED the dim-1000 gated run (1.60M -> 1.30M
+    # events/s at 278 -> 444 fills).
     itemsize = jnp.asarray(np.float64(0.0), dtype).dtype.itemsize
     row_bytes = (2 * d + 20) * itemsize + d
     if t_cap is None:
-        budget_rows = int(_device_bytes_budget() / max(B * row_bytes, 1) / 6)
+        budget_rows = int(_device_bytes_budget() / max(B * row_bytes, 1) / 3)
         t_cap = max(256, min(8192, budget_rows // 256 * 256))
     G = int(grid_chunk)
 
+    Tv = jnp.asarray(T, jnp.float32)
+    N_INNER = 2  # fold chunks per fill; coverage = N_INNER * G grid points
+
     on_stream = (jax.devices()[0].platform == "tpu"
                  or os.environ.get("PDMPFLUX_FORCE_STREAM", "") == "1")
-    if on_stream:
-        runner = pallas_driver.make_stream_call(
-            sampler, B, t_cap, t_cap, mode="horizon"
-        )
-    else:
-        xrun = sampler._cached(
-            ("xla_stream", t_cap, "horizon"),
-            lambda: jax.jit(engine.make_stream_runner(
-                sampler, t_cap, chunk=64, mode="horizon")),
-        )
-        runner = lambda st, stream, counts, tt: xrun(st, stream, counts, tt)
 
-    fold = sampler._cached(
-        ("fold_chunk", t_cap, G, n_samples, n_batches, n_burnin,
-         float(dt_grid), B),
-        lambda: jax.jit(make_fold_chunk(
+    def build_program(launch):
+        """ONE jitted program per fill: stream fill + device-side grid
+        bookkeeping + N_INNER fold chunks, with every carried buffer
+        donated.
+
+        Rationale (measured on the dim-1000 gated run through the axon
+        remote-dispatch tunnel): the fill itself costs ~59 ms while a
+        separate metadata fetch costs ~30 ms and EACH separate fold
+        dispatch ~25 ms — pure dispatch latency, not device time.  Fusing
+        the fold into the fill program and fetching only every
+        ``fetch_every`` fills removes nearly all of it.  The anchor needs
+        no carry: inside the program it IS the input state's trajectory
+        point; the grid cursor ``j_done`` rides as a device array.
+        """
+        if launch is not None:
+            tile, chunk, ev_space = launch
+            core = pallas_driver.make_pallas_stream_runner(
+                sampler, t_cap, t_cap, chunk=chunk, tile=tile,
+                mode="horizon", ev_space=ev_space,
+            )
+        else:
+            core = engine.make_stream_runner(
+                sampler, t_cap, chunk=64, mode="horizon"
+            )
+        fold_fn = make_fold_chunk(
             sampler, t_cap, G, n_samples, n_batches, n_burnin, dt_grid,
             x_ref,
-        )),
-    )
+        )
+
+        def program(carry, _=None):
+            state, stats, j_done, ev_total, flags = carry
+            anchor = _anchor_from_state(state)
+            stream = engine.empty_stream(t_cap, d, state.x.dtype, B)
+            j0 = jnp.min(j_done)
+            # Cap this fill's clock target so every chain's grid advance
+            # stays inside its own fold window [j_done_c, j_done_c + G): a
+            # chain halts once its committed clock passes the scalar cap
+            # (j0 + G - slack grid points), so j_hi_c <= j0 + G - slack <=
+            # j_done_c + G by construction; the slack absorbs the
+            # sub-one-transition overshoot of the halt check.  When the
+            # grid is sparse relative to a fill (the production case) the
+            # cap never binds and fills run full-size.
+            cap_pts = (j0 + G - max(1, G // 4)).astype(jnp.float32)
+            tt_eff = jnp.minimum(Tv, cap_pts * jnp.asarray(
+                dt_grid, jnp.float32))
+            res = core(state, stream, jnp.zeros((B,), jnp.int32), tt_eff)
+            ns = res.state
+            traj = ns.t + ns.ts
+            done = ns.t >= Tv.astype(ns.t.dtype)
+            j_hi = jnp.minimum(
+                jnp.floor(traj / jnp.asarray(dt_grid, traj.dtype)).astype(
+                    jnp.int32),
+                n_samples,
+            )
+            j_hi = jnp.where(done, n_samples, j_hi)
+            j_hi = jnp.maximum(j_hi, j_done)
+            stats = fold_fn(stats, res.stream, anchor, res.transitions,
+                            j_done, j_hi)
+            covered = j_done + G
+            overflow = jnp.any(j_hi > covered)
+            j_new = jnp.minimum(j_hi, covered)
+            all_done = jnp.all(done)
+            advanced = jnp.any(j_new > j_done)
+            stalled = (res.transitions == 0) & ~all_done & ~advanced
+            flags = flags | jnp.stack(
+                [overflow, stalled]).astype(jnp.int32)
+            ev_total = ev_total + jnp.sum(res.counts).astype(ev_total.dtype)
+            return (ns, stats, j_new, ev_total, flags), None
+
+        def meta(*carry):
+            # K fills per dispatch: each program dispatch costs ~15-25 ms
+            # of pure host/tunnel latency; the scan pays it once per K
+            out, _ = jax.lax.scan(program, carry, None, length=K)
+            return out
+
+        return jax.jit(meta, donate_argnums=(0, 1, 2, 3, 4))
+
+    if on_stream and jax.devices()[0].platform == "tpu":
+        cands = pallas_driver.launch_candidates(sampler, B)
+        picked = pallas_driver.pick_launch(sampler, B)
+        if picked in cands:
+            cands = cands[cands.index(picked):]
+    else:
+        cands = [None]
 
     state = sampler.init_state_batch(x, v, seed, dtype)
     stats = empty_stats(B, d, n_batches, state.x.dtype)
-    anchor = _anchor_from_state(state)
-    j_lo = np.zeros(B, np.int64)
-    Tv = jnp.asarray(T, jnp.float32)
+    j_done = jnp.zeros((B,), jnp.int32)
     events = 0
     fills = 0
+    ck_meta = {"T": float(T), "n_samples": int(n_samples),
+               "n_batches": int(n_batches), "n_burnin": int(n_burnin)}
+    if checkpoint_path:
+        loaded = _load_streaming_checkpoint(checkpoint_path, ck_meta)
+        if loaded is not None:
+            state, stats, meta = loaded
+            events, fills = int(meta["events"]), int(meta["fills"])
+            j_done = jnp.asarray(np.asarray(meta["cursor"]), jnp.int32)
 
-    def launch(st):
-        """Dispatch one fill (async — no host round trip)."""
-        stream = engine.empty_stream(t_cap, d, st.x.dtype, B)
-        return runner(st, stream, jnp.zeros((B,), jnp.int32), Tv)
+    K = 8 if jax.devices()[0].platform == "tpu" else 2
+    if checkpoint_path:
+        K = min(K, max(1, int(checkpoint_every)))
 
-    # Fills are double-buffered: fill k+1 is dispatched BEFORE fetching
-    # fill k's metadata, so the fetch round trip (the dominant per-fill
-    # overhead at ~20-40 ms through a remote-dispatch tunnel; measured 10 s
-    # of 45 s on the 278-fill dim-1000 gated run) overlaps fill k+1's
-    # device execution.  The fold only reads fill k's stream and the
-    # carried anchor, so it is dispatched behind fill k+1 with no hazard;
-    # when fill k turns out to have finished the horizon, the speculative
-    # fill ran on an all-frozen state — its while_loop exits at iteration
-    # 0 (one cheap no-op dispatch).
-    res_prev = launch(state)
+    prog_holder = {"fn": None, "idx": 0}
+
+    def run_program(carry):
+        """Run one fill program, degrading through kernel-geometry
+        candidates on a Mosaic VMEM rejection (probe-based fallback, as in
+        ``driver.make_stream_call``)."""
+        if prog_holder["fn"] is not None:
+            return prog_holder["fn"](*carry)
+        while True:
+            launch = cands[prog_holder["idx"]]
+            fn = sampler._cached(
+                ("stream_fold_program", t_cap, G, n_samples, n_batches,
+                 n_burnin, float(T), launch),
+                lambda launch=launch: build_program(launch),
+            )
+            try:
+                out = fn(*carry)
+            except Exception as e:
+                if launch is None or not pallas_driver.is_vmem_error(e):
+                    raise
+                prog_holder["idx"] += 1
+                continue
+            prog_holder["fn"] = fn
+            return out
+
+    ev0 = jnp.zeros((), jnp.int32)
+    flags = jnp.zeros((2,), jnp.int32)
+    carry = (state, stats, j_done, ev0, flags)
+    groups = 0
+    save_every_groups = max(1, -(-int(checkpoint_every) // K))
     while True:
-        new_state = res_prev.state
-        t_traj_dev = new_state.t + new_state.ts
-        t_host, traj_host, cnt_host, tr_host = jax.device_get(
-            (new_state.t, t_traj_dev, res_prev.counts,
-             res_prev.transitions)
+        carry = run_program(carry)
+        fills += K
+        _fail_after_fills(fills)
+        groups += 1
+        state_c, stats_c, j_done_c, ev_c, flags_c = carry
+        t_h, j_h, ev_h, fl_h = jax.device_get(
+            (state_c.t, j_done_c, ev_c, flags_c)
         )
-        fills += 1
-        events += int(np.asarray(cnt_host).sum())
-        done = np.asarray(t_host) >= T
+        events += int(ev_h)
+        carry = (state_c, stats_c, j_done_c, jnp.zeros((), jnp.int32),
+                 jnp.zeros((2,), jnp.int32))
+        if int(np.asarray(fl_h)[0]):
+            raise RuntimeError(
+                "streaming grid coverage overflow: a fill advanced the "
+                f"sample grid by more than {N_INNER} * grid_chunk="
+                f"{N_INNER * G} points; rerun with a larger grid_chunk "
+                "or smaller t_cap"
+            )
+        done = np.asarray(t_h) >= T
         all_done = bool(done.all())
-        res_next = None if all_done else launch(new_state)
-        # grid indices covered by this fill: trajectory reached t+ts, and a
-        # finished chain's flow extends deterministically to T
-        j_hi = np.minimum(
-            np.floor(np.asarray(traj_host, np.float64) / dt_grid).astype(
-                np.int64),
-            n_samples,
-        )
-        j_hi = np.where(done, n_samples, j_hi)
-        j_hi = np.maximum(j_hi, j_lo)
-
-        if np.any(j_hi > j_lo):
-            rows_written = jnp.asarray(int(tr_host), jnp.int32)
-            lo_dev = jnp.asarray(j_lo, jnp.int32)
-            hi_dev = jnp.asarray(j_hi, jnp.int32)
-            j0 = int(j_lo.min())
-            j_end = int(j_hi.max())
-            for start in range(j0, j_end, G):
-                stats = fold(stats, res_prev.stream, anchor, rows_written,
-                             jnp.asarray(start, jnp.int32), lo_dev, hi_dev)
-        j_lo = j_hi
-        anchor = _anchor_from_state(new_state)
-        state = new_state
+        grid_done = int(np.asarray(j_h).min()) >= n_samples
         if verbose:
             print(
-                f"[streaming] fill {fills}: t={np.asarray(t_host).min():.4g}"
-                f"/{T} grid {int(j_lo.min())}/{n_samples} "
+                f"[streaming] fill {fills}: t={np.asarray(t_h).min():.4g}"
+                f"/{T} grid {int(np.asarray(j_h).min())}/{n_samples} "
                 f"(chains done: {int(done.sum())}/{B})"
             )
-        if all_done and int(j_lo.min()) >= n_samples:
+        if (checkpoint_path and groups % save_every_groups == 0
+                and not (all_done and grid_done)):
+            _save_streaming_checkpoint(
+                checkpoint_path, state_c, stats_c,
+                dict(ck_meta, events=events, fills=fills,
+                     cursor=np.asarray(j_h).tolist()),
+            )
+        if all_done and grid_done:
             break
-        if int(tr_host) == 0 and not all_done:
+        if int(np.asarray(fl_h)[1]):
             raise RuntimeError("streaming sampling made no progress")
-        res_prev = res_next if res_next is not None else launch(state)
+    state, stats = carry[0], carry[1]
     sampler.state = state
     return StreamingRun(stats, state, events, fills, n_samples, n_burnin)
 

@@ -125,6 +125,45 @@ def test_streaming_summary_convergence(monkeypatch):
     assert run.events > 0
 
 
+def test_streaming_checkpoint_resume(monkeypatch, tmp_path):
+    """Crash mid-run via fault injection, resume from the checkpoint, and
+    require accumulators identical to an uninterrupted run (determinism
+    comes from the PRNG keys in the saved state; the anchor and grid
+    cursor are recomputed from it)."""
+    monkeypatch.setenv("PDMPFLUX_FORCE_STREAM", "1")
+    B, d = 4, 3
+    kw = dict(n_samples=512, n_batches=8, seed=11, t_cap=64, grid_chunk=128)
+    x0, v0 = np.full((B, d), 0.4), np.ones((B, d))
+
+    def make():
+        return pf.ZigZagAD(d, lambda x: jnp.sum(x * x) / 2)
+
+    ref = streaming.sample_streaming_stats(make(), 160.0, x0, v0, **kw)
+    assert ref.fills >= 3
+
+    ck = str(tmp_path / "stream.ckpt")
+    monkeypatch.setenv("PDMPFLUX_FAIL_AFTER_FILLS", "2")
+    with pytest.raises(RuntimeError, match="fault injection"):
+        streaming.sample_streaming_stats(
+            make(), 160.0, x0, v0, checkpoint_path=ck, checkpoint_every=1,
+            **kw)
+    assert (tmp_path / "stream.ckpt").exists()
+    monkeypatch.delenv("PDMPFLUX_FAIL_AFTER_FILLS")
+    run = streaming.sample_streaming_stats(
+        make(), 160.0, x0, v0, checkpoint_path=ck, checkpoint_every=1, **kw)
+    for f in ref.stats._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(run.stats, f)),
+            np.asarray(getattr(ref.stats, f)), err_msg=f)
+    assert run.events == ref.events
+
+    # a checkpoint for a different configuration must refuse to load
+    with pytest.raises(ValueError, match="delete it"):
+        streaming.sample_streaming_stats(
+            make(), 160.0, x0, v0, checkpoint_path=ck, n_samples=1024,
+            n_batches=8, seed=11, t_cap=64)
+
+
 def test_streaming_rejects_bad_args():
     sampler = pf.ZigZagAD(2, lambda x: jnp.sum(x * x) / 2)
     with pytest.raises(ValueError):
