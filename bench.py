@@ -29,16 +29,6 @@ import time
 import numpy as np
 
 
-def _force_scalar(a):
-    """Force device materialization by reducing ON DEVICE and fetching one
-    scalar (a full fetch of ``t`` is ~33 MB and crawls at ~30 MB/s through
-    the remote-dispatch tunnel, polluting the measurement by ~1 s)."""
-    import jax.numpy as _jnp
-
-    if isinstance(a, np.ndarray):
-        return float(a.reshape(-1)[-1])
-    return float(_jnp.max(a))
-
 
 def main():
     import jax
@@ -66,16 +56,22 @@ def main():
     def go(seed, smp, b):
         t0 = time.perf_counter()
         skel = pf.sample_skeleton(smp, n_sk, x0[:b], v0[:b], seed=seed, **kw)
+        # ONE value fetch both returns the counts and proves completion:
+        # n_valid is an output of the same compiled program as the skeleton
+        # buffers, so fetching it waits for the whole execution — the extra
+        # jnp.max dispatch + fetch of the old "force" pattern cost two more
+        # ~15 ms tunnel round trips per timed run.
         nv = np.asarray(jax.device_get(skel.n_valid))
-        # force materialization (block_until_ready does not block through
-        # remote-dispatch tunnels)
-        _force_scalar(skel.t)
         wall = time.perf_counter() - t0
         return skel, wall, int(nv.sum()) - b
 
     go(0, sampler, B)  # warmup/compile
     wall = float("inf")
+    skel = None
     for rep in (1, 2):
+        if skel is not None:
+            del skel  # a live previous skeleton (GBs at large B) would
+            skel = None  # OOM the fused one-shot into its slow fallback
         skel, w, events = go(rep, sampler, B)
         wall = min(wall, w)
     events_per_sec = events / wall

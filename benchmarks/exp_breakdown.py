@@ -155,14 +155,18 @@ def main():
             acc = engine.compact_stream_rows_with_init(
                 res.stream, target, ivv
             )
-            return acc.t
+            # return the FULL skeleton: returning only one field lets XLA
+            # dead-code-eliminate the other fields' compaction, understating
+            # the one-shot cost by ~2x (caught in r5: 0.30 s vs the real
+            # 0.56 s at B=8192)
+            return acc
 
         os_jit = jax.jit(one_shot)
-        os_w, _ = timeit(
-            lambda s=[0]: (s.__setitem__(0, s[0] + 1),
-                           os_jit(x0, v0,
-                                  jax.random.split(_as_key(s[0]), B)))[1]
-        )
+        def _os_once(st=[0]):
+            st[0] += 1
+            return os_jit(x0, v0, jax.random.split(_as_key(st[0]), B)).t
+
+        os_w, _ = timeit(_os_once)
 
         row = {
             "chains": B,

@@ -32,15 +32,6 @@ import time
 import numpy as np
 
 
-def _force_scalar(a):
-    """Force device materialization by reducing ON DEVICE and fetching one
-    scalar (a full fetch of ``t`` is ~33 MB and crawls at ~30 MB/s through
-    the remote-dispatch tunnel, polluting the measurement by ~1 s)."""
-    import jax.numpy as _jnp
-
-    if isinstance(a, np.ndarray):
-        return float(a.reshape(-1)[-1])
-    return float(_jnp.max(a))
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -54,9 +45,9 @@ def _run_once(pf, sampler, n_or_T, x0, v0, seed, kw):
 
     t0 = time.perf_counter()
     skel = pf.sample_skeleton(sampler, n_or_T, x0, v0, seed=seed, **kw)
+    # one fetch returns counts AND proves completion (n_valid is an output
+    # of the same program as the skeleton buffers)
     n_valid = np.asarray(jax.device_get(skel.n_valid))
-    # force materialization through the device tunnel
-    _force_scalar(skel.t)
     wall = time.perf_counter() - t0
     B = 1 if np.ndim(skel.t) == 1 else np.shape(skel.t)[0]
     per_chain_extra = 2 if isinstance(n_or_T, float) else 1  # init [+ terminal]
@@ -229,11 +220,13 @@ def main(quick: bool = False, only=None, scale: int | None = None):
         _log(f"{cfg['name']}: timed runs...")
         skel, wall, events = _run_once(pf, sampler, run_arg, x0, v0, 1, kw)
         if cfg.get("reps", 2) > 1:  # best of 2 (dispatch noise); configs
-            # whose skeleton fills most of HBM run a single rep (two live
-            # skeletons would OOM)
-            skel2, wall2, events2 = _run_once(pf, sampler, run_arg, x0, v0,
-                                              2, kw)
-            del skel2
+            # whose skeleton fills most of HBM run a single rep.  The first
+            # rep's skeleton is freed BEFORE the second runs: a live
+            # previous skeleton (GBs at large B) OOMs the fused one-shot
+            # into its multi-dispatch fallback, understating the rate.
+            del skel
+            skel, wall2, events2 = _run_once(pf, sampler, run_arg, x0, v0,
+                                             2, kw)
             if events2 / wall2 > events / wall:
                 wall, events = wall2, events2
         ev_s = events / wall

@@ -228,7 +228,13 @@ def _sharded_events(
     # the cold 1.8x margin to ~1.15x what the config actually needs
     ratio = (getattr(sampler, "_fill_ratio", None)
              if jax.devices()[0].platform == "tpu" else None)
-    margin = 1.8 if not ratio else min(1.8, max(1.1, 1.15 / ratio))
+    # 1.08x the measured mean transition need: the slowest chain's
+    # count concentrates within ~5% of the mean at large B, the
+    # 256-row alignment adds slack on top, and a rare straggler
+    # falls into the merge path instead of failing — while the
+    # compaction pass is linear in the fill width, so every spare
+    # 256-row bucket costs ~2% of the flagship's wall time
+    margin = 1.8 if not ratio else min(1.8, max(1.08, 1.08 / ratio))
     align = 256 if target >= 256 else chunk  # bound distinct geometries
     align = max(align, chunk)
     t_cap = max(chunk,
@@ -321,9 +327,9 @@ def _sharded_events(
             )
         if done.all():
             exhausted = False
-            sampler._fill_ratio = min(
-                1.0, target / max(int(transitions.max()), 1)
-            )
+            from ..api import _update_fill_ratio
+
+            _update_fill_ratio(sampler, target, transitions.max())
             break
         if int(np.asarray(tr_host).sum()) == 0:
             exhausted = False
