@@ -47,8 +47,13 @@ def main():
     v0 = np.ones((B, dim)) / np.sqrt(dim)
     kw = dict(dtype=jnp.float32, backend="auto")
 
+    import os as _os
     grids = [(2.0, 10), (1.0, 10), (0.6, 10), (2.0, 20), (1.0, 16),
              (0.5, 8), (0.4, 10)]
+    if _os.environ.get("ECMC_GRIDS"):
+        grids = [tuple(map(float, g.split(":")))
+                 for g in _os.environ["ECMC_GRIDS"].split(",")]
+        grids = [(t, int(g)) for t, g in grids]
     results = []
     for tmax, gs in grids:
         smp = pf.ForwardECMCAD(dim, potentials.gauss, tmax=tmax,

@@ -22,18 +22,21 @@ def baseline_table(rows):
         "|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
+        single = r.get("single_chain_events_per_sec")
+        spd = r.get("parallel_speedup")
+        acc = r.get("mean_acceptance")
         out.append(
-            "| {config} | {B} | {ne} | **{eps}** | {single} | {spd}x | {ess} | {rh} | {acc} |".format(
+            "| {config} | {B} | {ne} | **{eps}** | {single} | {spd} | {ess} | {rh} | {acc} |".format(
                 config=r["config"].replace("_", r"\_"),
                 B=_fmt(r["chains"]),
                 ne=_fmt(r["events_per_chain"]),
                 eps=_fmt(r["events_per_sec"], 0),
-                single=_fmt(r["single_chain_events_per_sec"], 0),
-                spd=_fmt(r["parallel_speedup"], 0),
+                single=_fmt(single, 0) if single is not None else "—",
+                spd=(_fmt(spd, 0) + "x") if spd is not None else "—",
                 ess=_fmt(r["ess_per_sec_worst_coord"], 0),
                 rh=("yes (%.3f)" % r["rhat_max"]) if r["rhat_ok"]
                 else ("n/a*" if "note" in r else "no (%.3f)" % r["rhat_max"]),
-                acc=_fmt(r["mean_acceptance"], 3),
+                acc=_fmt(acc, 3) if acc is not None else "—",
             )
         )
     return "\n".join(out)

@@ -174,15 +174,13 @@ def main(quick: bool = False, only=None, scale: int | None = None):
              make=lambda: pf.StickyZigZagAD(
                  1000, potentials.gauss, np.full(1000, 10.0)),
              B=128 // max(scale // 4, 1), n_ev=2048 // scale, truth=None),
-        # Long-run dim-1000 sticky config for a CONVERGENCE-GATED ESS/s
-        # datapoint (VERDICT r3 item 3): few chains x many events so each
-        # coordinate sees ~30+ events; sized to keep the on-device
-        # accumulator (~4.8 GB) inside a v5e's HBM budget.
-        dict(name="sticky_zigzag_d1000_long", dim=1000,
-             make=lambda: pf.StickyZigZagAD(
-                 1000, potentials.gauss, np.full(1000, 10.0)),
-             B=8, n_ev=65536 // scale, reps=1,
-             truth=None),
+        # The convergence-GATED dim-1000 sticky datapoint lives in the
+        # streaming-statistics benchmark (benchmarks/exp_streaming_d1000.py,
+        # row sticky_zigzag_d1000_streaming): ~0.5M events/chain x 128
+        # chains folded into O(B*d) accumulators — ~9 HBMs' worth of
+        # skeleton that no materialized config can hold.  (The r3/r4
+        # "d1000_long" materialized attempt topped out at one HBM and
+        # rhat ~ 1.10; it is superseded and removed.)
     ]
     all_names = list(configs)
     if only:
@@ -309,16 +307,6 @@ def main(quick: bool = False, only=None, scale: int | None = None):
                     "test checks only that freezing occurs, "
                     "test_coverage.jl:254-292); the converged sticky ESS/s "
                     "datapoint is the sticky_zigzag_d100 row"
-                )
-            if cfg["name"].endswith("d1000_long"):
-                row["note"] = (
-                    "convergence-trajectory config: split-rhat falls "
-                    "~1.21 -> 1.10 as events/chain double 32k -> 64k; a "
-                    "fully gated dim-1000 run needs ~4-8x more events per "
-                    "chain than one chip's HBM holds at B=8 (the gated "
-                    "sticky datapoint is sticky_zigzag_d100; sticky "
-                    "posterior-mass correctness is asserted by "
-                    "tests/test_sticky.py::test_spike_mass_matches_theory)"
                 )
         print(json.dumps(row), flush=True)
         results.append(row)

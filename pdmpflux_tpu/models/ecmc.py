@@ -35,14 +35,26 @@ def _normalize(u, eps=0.0):
 
 
 class ForwardECMC(PDMP):
-    """Defaults as in ``ForwardEventChainMonteCarlo.jl:301-303``."""
+    """Defaults as in ``ForwardEventChainMonteCarlo.jl:301-303``, except
+    ``grid_size=20`` (the reference uses 10).
+
+    Measured on the 10-d Gaussian benchmark (TPU v5e, f32,
+    ``benchmarks/ecmc_envelope_sweep.json``): the scalar signed envelope's
+    slack is segment-width-limited, so doubling the grid raises thinning
+    acceptance 0.889 -> 0.928 AND events/s (+8%: fewer rejected proposals
+    outweigh the extra envelope evaluations); ESS/s improves ~35% over
+    grid 40 (acceptance 0.956), which pays more envelope work than its
+    rejections save.  The initial ``tmax`` is irrelevant to acceptance —
+    the adaptive horizon self-tunes within a few hundred events.  The
+    sampled law is identical at any grid (envelope tightness only shifts
+    acceptance statistics)."""
 
     def __init__(
         self,
         dim,
         grad_U,
         *,
-        grid_size=10,
+        grid_size=20,
         tmax=2.0,
         signed_bound=True,
         adaptive=True,
@@ -167,7 +179,7 @@ class ForwardECMC(PDMP):
         return v_o_unit * tangential + rho * n
 
 
-def ForwardECMCAD(dim, U, *, grid_size=10, tmax=2.0, signed_bound=True,
+def ForwardECMCAD(dim, U, *, grid_size=20, tmax=2.0, signed_bound=True,
                   adaptive=True, ran_p=False, mix_p=0.5, switch=True,
                   positive=True, speed_factor=1.0, **kw):
     """``ForwardECMCAD`` (``ForwardEventChainMonteCarlo.jl:367-378``)."""
