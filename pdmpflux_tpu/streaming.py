@@ -246,6 +246,7 @@ def sample_streaming_stats(
     verbose: bool = False,
     checkpoint_path=None,
     checkpoint_every: int = 64,
+    mesh=None,
 ) -> StreamingRun:
     """Run time-horizon sampling to ``t = T`` while folding equal-time
     samples into O(B * d) streaming accumulators; the skeleton is never
@@ -261,6 +262,14 @@ def sample_streaming_stats(
     from an existing file.  Each save fetches the accumulators
     (~``B * n_batches * d`` floats), so keep ``checkpoint_every`` large on
     remote-tunneled devices.
+
+    ``mesh``: run the fill+fold program independently per device under
+    ``shard_map`` over the ``chains`` mesh axis (chains, accumulators, and
+    grid cursors are all chain-sharded; only the tiny event/flag scalars
+    are ``psum``/``pmax``-reduced per dispatch, so aggregate events/s is
+    linear in devices by construction, exactly like
+    ``sample_skeleton_sharded``).  Per-chain statistics match the
+    unsharded run up to summation order (fill boundaries differ).
     """
     from .api import (
         _device_bytes_budget,
@@ -279,6 +288,17 @@ def sample_streaming_stats(
         )
     x, v, _squeeze = _prep_init(sampler, xinit, vinit)
     B, d = x.shape
+    n_shards = 1
+    if mesh is not None:
+        from .parallel import mesh as mesh_lib
+
+        n_shards = mesh.shape[mesh_lib.CHAIN_AXIS]
+        if B % n_shards != 0:
+            raise ValueError(
+                f"chain batch {B} must be divisible by the {n_shards}-"
+                f"device 'chains' mesh axis"
+            )
+    B_local = B // n_shards
     n_burnin = int(burnin_frac * n_samples)
     dt_grid = T / n_samples
     x_ref = np.asarray(x.mean(axis=0), np.float32)
@@ -293,19 +313,20 @@ def sample_streaming_stats(
     itemsize = jnp.asarray(np.float64(0.0), dtype).dtype.itemsize
     row_bytes = (2 * d + 20) * itemsize + d
     if t_cap is None:
-        budget_rows = int(_device_bytes_budget() / max(B * row_bytes, 1) / 3)
+        # per-DEVICE budget: each shard holds only its local stream
+        budget_rows = int(
+            _device_bytes_budget() / max(B_local * row_bytes, 1) / 3)
         t_cap = max(256, min(8192, budget_rows // 256 * 256))
     G = int(grid_chunk)
 
     Tv = jnp.asarray(T, jnp.float32)
-    N_INNER = 2  # fold chunks per fill; coverage = N_INNER * G grid points
 
     on_stream = (jax.devices()[0].platform == "tpu"
                  or os.environ.get("PDMPFLUX_FORCE_STREAM", "") == "1")
 
     def build_program(launch):
         """ONE jitted program per fill: stream fill + device-side grid
-        bookkeeping + N_INNER fold chunks, with every carried buffer
+        bookkeeping + the per-chain fold, with every carried buffer
         donated.
 
         Rationale (measured on the dim-1000 gated run through the axon
@@ -335,7 +356,10 @@ def sample_streaming_stats(
         def program(carry, _=None):
             state, stats, j_done, ev_total, flags = carry
             anchor = _anchor_from_state(state)
-            stream = engine.empty_stream(t_cap, d, state.x.dtype, B)
+            # batch from the traced state (the device-LOCAL batch under
+            # shard_map), not the closure
+            stream = engine.empty_stream(
+                t_cap, d, state.x.dtype, state.x.shape[0])
             j0 = jnp.min(j_done)
             # Cap this fill's clock target so every chain's grid advance
             # stays inside its own fold window [j_done_c, j_done_c + G): a
@@ -348,7 +372,8 @@ def sample_streaming_stats(
             cap_pts = (j0 + G - max(1, G // 4)).astype(jnp.float32)
             tt_eff = jnp.minimum(Tv, cap_pts * jnp.asarray(
                 dt_grid, jnp.float32))
-            res = core(state, stream, jnp.zeros((B,), jnp.int32), tt_eff)
+            res = core(state, stream,
+                       jnp.zeros((state.x.shape[0],), jnp.int32), tt_eff)
             ns = res.state
             traj = ns.t + ns.ts
             done = ns.t >= Tv.astype(ns.t.dtype)
@@ -378,11 +403,34 @@ def sample_streaming_stats(
             out, _ = jax.lax.scan(program, carry, None, length=K)
             return out
 
-        return jax.jit(meta, donate_argnums=(0, 1, 2, 3, 4))
+        if mesh is None:
+            return jax.jit(meta, donate_argnums=(0, 1, 2, 3, 4))
+
+        from jax.sharding import PartitionSpec as P
+
+        from .parallel import mesh as mesh_lib
+
+        axis = mesh_lib.CHAIN_AXIS
+        chain = P(axis)
+
+        def meta_sharded(*carry):
+            ns, stats, j_new, ev, flags = meta(*carry)
+            # the only cross-device values are the tiny progress scalars
+            ev = jax.lax.psum(ev, axis)
+            flags = jax.lax.pmax(flags, axis)
+            return ns, stats, j_new, ev, flags
+
+        sm = jax.shard_map(
+            meta_sharded, mesh=mesh,
+            in_specs=(chain, chain, chain, P(), P()),
+            out_specs=(chain, chain, chain, P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sm, donate_argnums=(0, 1, 2, 3, 4))
 
     if on_stream and jax.devices()[0].platform == "tpu":
-        cands = pallas_driver.launch_candidates(sampler, B)
-        picked = pallas_driver.pick_launch(sampler, B)
+        cands = pallas_driver.launch_candidates(sampler, B_local)
+        picked = pallas_driver.pick_launch(sampler, B_local)
         if picked in cands:
             cands = cands[cands.index(picked):]
     else:
@@ -418,7 +466,7 @@ def sample_streaming_stats(
             launch = cands[prog_holder["idx"]]
             fn = sampler._cached(
                 ("stream_fold_program", t_cap, G, n_samples, n_batches,
-                 n_burnin, float(T), launch),
+                 n_burnin, float(T), launch, id(mesh) if mesh else None),
                 lambda launch=launch: build_program(launch),
             )
             try:
@@ -450,10 +498,10 @@ def sample_streaming_stats(
                  jnp.zeros((2,), jnp.int32))
         if int(np.asarray(fl_h)[0]):
             raise RuntimeError(
-                "streaming grid coverage overflow: a fill advanced the "
-                f"sample grid by more than {N_INNER} * grid_chunk="
-                f"{N_INNER * G} points; rerun with a larger grid_chunk "
-                "or smaller t_cap"
+                "streaming grid coverage overflow: a fill advanced a "
+                f"chain's sample grid by more than grid_chunk={G} points "
+                "past the fill's clock cap (an engine invariant — please "
+                "report); rerun with a larger grid_chunk as a workaround"
             )
         done = np.asarray(t_h) >= T
         all_done = bool(done.all())

@@ -164,6 +164,37 @@ def test_streaming_checkpoint_resume(monkeypatch, tmp_path):
             n_batches=8, seed=11, t_cap=64)
 
 
+def test_streaming_sharded_matches_unsharded(monkeypatch):
+    """The mesh variant runs the fill+fold program per device under
+    shard_map; per-chain trajectories are keyed by (seed, chain index), so
+    the accumulators must match the unsharded run (up to summation order —
+    fill boundaries differ when the clock cap uses the device-local
+    minimum cursor)."""
+    monkeypatch.setenv("PDMPFLUX_FORCE_STREAM", "1")
+    from pdmpflux_tpu.parallel import mesh as mesh_lib
+
+    B, d = 16, 3
+    kw = dict(n_samples=512, n_batches=8, seed=9, t_cap=64, grid_chunk=128)
+    x0, v0 = np.full((B, d), 0.4), np.ones((B, d))
+
+    def make():
+        return pf.ZigZagAD(d, lambda x: jnp.sum(x * x) / 2)
+
+    ref = streaming.sample_streaming_stats(make(), 120.0, x0, v0, **kw)
+    run = streaming.sample_streaming_stats(
+        make(), 120.0, x0, v0, mesh=mesh_lib.make_mesh(8, 1), **kw)
+    assert run.events == ref.events
+    np.testing.assert_array_equal(np.asarray(run.stats.n_half),
+                                  np.asarray(ref.stats.n_half))
+    np.testing.assert_array_equal(np.asarray(run.stats.bcount),
+                                  np.asarray(ref.stats.bcount))
+    for f in ("sum_half", "sumsq_half", "bsum"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(run.stats, f), np.float64),
+            np.asarray(getattr(ref.stats, f), np.float64),
+            rtol=1e-5, atol=1e-5, err_msg=f)
+
+
 def test_streaming_rejects_bad_args():
     sampler = pf.ZigZagAD(2, lambda x: jnp.sum(x * x) / 2)
     with pytest.raises(ValueError):
