@@ -45,6 +45,7 @@ def main():
     ap.add_argument("--n-batches", type=int, default=128)
     ap.add_argument("--cal-events", type=int, default=2048)
     ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--t-cap", type=int, default=None)
     ap.add_argument("--no-write", action="store_true")
     args = ap.parse_args()
 
@@ -95,7 +96,8 @@ def main():
     t0 = time.time()
     run = pf.sample_streaming_stats(
         sampler, float(T), x0, v0, n_samples=args.n_samples,
-        n_batches=args.n_batches, seed=args.seed + 1, verbose=True, **kw,
+        n_batches=args.n_batches, seed=args.seed + 1, verbose=True,
+        t_cap=args.t_cap, **kw,
     )
     wall = time.time() - t0
     summ = pf.streaming_summary(run, x_ref=x0.mean(axis=0))

@@ -161,13 +161,17 @@ VMEM_SWEET_BYTES = 14 * (1 << 20)
 (v5e measurements: dim-10 tile-512 24.7M ev/s, dim-50 tile-256 5.96M vs
 3.34M at the 18 MB tile-512 estimate, dim-100 sticky tile-128 fused).
 
-Known dim-1000 anomaly (r4, reproducible): the PLAIN ZigZag kernel fill at
-d=1000/tile-128 runs 2.4x SLOWER than the sticky variant (0.29 s vs
-0.12 s per 2048-row fill) despite doing strictly less work — the ~2.2M
-ev/s sticky ceiling is therefore a Mosaic scheduling artifact, not an
-op-count limit.  Geometry (chunk 8-128, vmem/hbm) and grid-size sweeps
-move it by <10%; the next lever is kernel instruction scheduling (fusing
-the freeze-select chains), not more math reduction."""
+Known dim-1000 anomaly (r4, re-measured r5): the PLAIN ZigZag kernel fill
+at d=1000/tile-128 runs SLOWER than the sticky variant despite doing
+strictly less work — a Mosaic scheduling artifact, not an op-count limit.
+Donating the stream buffers (in-place fills) lifted BOTH variants and
+narrowed the gap: r4 measured sticky 2.1M / plain 0.9M events/s
+(2.4x); r5 chained-fill measurements give sticky 3.67M / plain 2.56M
+(1.43x).  Geometry (chunk 8-128, vmem/hbm) and grid-size sweeps move it
+by <10%.  Practical impact is limited — the dim-1000 benchmark configs
+are sticky, and the sticky fill is the fast one — so the remaining lever
+(reordering the freeze-select instruction chains inside the kernel) is
+documented rather than pursued."""
 
 
 def _vmem_budget() -> int:
