@@ -46,7 +46,10 @@ def main():
     on_tpu = platform == "tpu"
 
     dim = 10
-    B = int(os.environ.get("BENCH_CHAINS", 4096 if on_tpu else 64))
+    # B=8192 is the measured per-chip throughput peak (breakdown_results.
+    # json: the fused fill runs 48.4M events/s there vs 44.5M at 4096);
+    # override with BENCH_CHAINS to reproduce the sweep's B=4096 row.
+    B = int(os.environ.get("BENCH_CHAINS", 8192 if on_tpu else 64))
     n_sk = int(os.environ.get("BENCH_EVENTS", 2048 if on_tpu else 256))
     x0, v0 = np.zeros((B, dim)), np.ones((B, dim))
 

@@ -236,6 +236,23 @@ def test_device_bytes_budget_env_override(monkeypatch):
     assert api._device_bytes_budget() > (1 << 30)  # sane floor on any backend
 
 
+def test_fill_ratio_hysteresis():
+    """Seed-to-seed jitter in the measured transition count must not move
+    the recorded ratio (geometry ping-pong recompiles a fresh fill
+    executable every run); a real change must."""
+
+    class S:
+        pass
+
+    s = S()
+    api._update_fill_ratio(s, 2047, 2656)
+    r1 = s._fill_ratio
+    api._update_fill_ratio(s, 2047, 2624)  # ~1.2% jitter -> keep
+    assert s._fill_ratio == r1
+    api._update_fill_ratio(s, 2047, 4000)  # real shift -> update
+    assert s._fill_ratio != r1
+
+
 def test_device_bytes_budget_unknown_device_kind(monkeypatch, tmp_path):
     """An unknown TPU device kind must size via the allocation probe (no
     hard-coded generation table, VERDICT r4 item 7), and fall back to a
