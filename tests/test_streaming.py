@@ -195,6 +195,32 @@ def test_streaming_sharded_matches_unsharded(monkeypatch):
             rtol=1e-5, atol=1e-5, err_msg=f)
 
 
+def test_streaming_f32_matches_f64_statistics(monkeypatch):
+    """The TPU production path runs float32; its streaming statistics must
+    agree with a float64 run of the same config to float32-grade accuracy
+    (grid times, interpolation, and accumulator sums all live in f32)."""
+    monkeypatch.setenv("PDMPFLUX_FORCE_STREAM", "1")
+    B, d = 8, 3
+    kw = dict(n_samples=1024, n_batches=8, seed=13, t_cap=128,
+              grid_chunk=256)
+    x0, v0 = np.full((B, d), 0.4), np.ones((B, d))
+
+    def make():
+        return pf.ZigZagAD(d, lambda x: jnp.sum(x * x) / 2)
+
+    r64 = streaming.sample_streaming_stats(make(), 120.0, x0, v0, **kw)
+    r32 = streaming.sample_streaming_stats(make(), 120.0, x0, v0,
+                                           dtype=jnp.float32, **kw)
+    s64 = streaming.streaming_summary(r64, x_ref=x0.mean(axis=0))
+    s32 = streaming.streaming_summary(r32, x_ref=x0.mean(axis=0))
+    # different-precision trajectories diverge chaotically, so compare the
+    # POOLED statistics at Monte-Carlo tolerance, not per-chain values
+    np.testing.assert_allclose(s32["pooled_var"], s64["pooled_var"],
+                               rtol=0.35)
+    assert abs(s32["rhat_max"] - s64["rhat_max"]) < 0.2
+    assert np.all(np.abs(s32["pooled_mean"] - s64["pooled_mean"]) < 0.5)
+
+
 def test_streaming_rejects_bad_args():
     sampler = pf.ZigZagAD(2, lambda x: jnp.sum(x * x) / 2)
     with pytest.raises(ValueError):
