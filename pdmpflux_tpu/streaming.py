@@ -81,6 +81,8 @@ class StreamingRun(NamedTuple):
     fills: int             # stream fills executed
     n_samples: int         # grid size the stats were folded over
     n_burnin: int          # leading grid points excluded from the stats
+    x_ref: np.ndarray = np.float32(0.0)  # (d,) centering offset the fold
+    #                                      subtracted (mean initial position)
 
 
 def make_fold_chunk(sampler, W: int, G: int, n_samples: int, n_batches: int,
@@ -303,13 +305,13 @@ def sample_streaming_stats(
     dt_grid = T / n_samples
     x_ref = np.asarray(x.mean(axis=0), np.float32)
 
-    # Fill geometry: bounded by the device budget.  Peak live buffers:
-    # fill k's stream (being folded) + the double-buffered fill k+1's
-    # in-place stream (the runner donates its input buffer) + fold gather
-    # temporaries — ~4 stream-sized allocations.  Bigger fills win: each
-    # fill pays a fixed launch + metadata-fetch overhead, so halving
+    # Fill geometry: bounded by the device budget.  Peak live buffers
+    # inside the fused program: the fill's stream (updated in place) +
+    # fold gather temporaries + XLA slack — ~3 stream-sized allocations.
+    # Bigger fills win: each fill pays a fixed launch overhead, so halving
     # t_cap measurably LOWERED the dim-1000 gated run (1.60M -> 1.30M
-    # events/s at 278 -> 444 fills).
+    # events/s at 278 -> 444 fills), while growing it past ~3000 rows
+    # bought only ~2% more.
     itemsize = jnp.asarray(np.float64(0.0), dtype).dtype.itemsize
     row_bytes = (2 * d + 20) * itemsize + d
     if t_cap is None:
@@ -525,18 +527,26 @@ def sample_streaming_stats(
             raise RuntimeError("streaming sampling made no progress")
     state, stats = carry[0], carry[1]
     sampler.state = state
-    return StreamingRun(stats, state, events, fills, n_samples, n_burnin)
+    return StreamingRun(stats, state, events, fills, n_samples, n_burnin,
+                        x_ref)
 
 
 def streaming_summary(run: StreamingRun, x_ref=None,
                       rhat_threshold: float | None = None) -> dict:
     """Finalize a :class:`StreamingRun` into moments, split-R-hat, and the
     batch-means ESS aggregate (float64, host).  Mirrors the fields of
-    ``diagnostics.ess_summary`` plus per-chain moments."""
+    ``diagnostics.ess_summary`` plus per-chain moments.
+
+    ``x_ref`` defaults to the centering offset recorded on the run (the
+    mean initial position the fold subtracted for float32 accumulation
+    accuracy), so means come back in the original coordinates without the
+    caller having to thread it through."""
     from .diagnostics import RHAT_THRESHOLD
 
     if rhat_threshold is None:
         rhat_threshold = RHAT_THRESHOLD
+    if x_ref is None:
+        x_ref = run.x_ref
     s = jax.device_get(run.stats)
     n_h = np.asarray(s.n_half, np.float64)          # (B, 2)
     sum_h = np.asarray(s.sum_half, np.float64)      # (B, 2, d)
@@ -580,8 +590,6 @@ def streaming_summary(run: StreamingRun, x_ref=None,
     )                                               # (B, d)
     per_coord = ess.sum(axis=0)
 
-    if x_ref is None:
-        x_ref = 0.0
     mean = mean_c + np.asarray(x_ref)
     return {
         "mean": mean,                               # (B, d)
