@@ -249,6 +249,9 @@ def sample_streaming_stats(
     checkpoint_path=None,
     checkpoint_every: int = 64,
     mesh=None,
+    stop_when_converged: bool = False,
+    check_every: int = 32,
+    min_ess: float = 0.0,
 ) -> StreamingRun:
     """Run time-horizon sampling to ``t = T`` while folding equal-time
     samples into O(B * d) streaming accumulators; the skeleton is never
@@ -272,6 +275,16 @@ def sample_streaming_stats(
     linear in devices by construction, exactly like
     ``sample_skeleton_sharded``).  Per-chain statistics match the
     unsharded run up to summation order (fill boundaries differ).
+
+    ``stop_when_converged``: treat ``T`` as a BUDGET rather than a target —
+    every ``check_every`` dispatch groups, finalize the partial
+    accumulators and stop as soon as split-R-hat gates (and the
+    worst-coordinate pooled ESS reaches ``min_ess``, when given).  The
+    batch-means estimator masks the not-yet-filled trailing windows, so
+    early summaries stay unbiased; the reference has no analogue (its runs
+    are fixed-length only).  Each check fetches the accumulators
+    (~``B * n_batches * d`` floats), so keep ``check_every`` large on
+    remote-tunneled devices.
     """
     from .api import (
         _device_bytes_budget,
@@ -523,6 +536,20 @@ def sample_streaming_stats(
             )
         if all_done and grid_done:
             break
+        if (stop_when_converged and groups % max(1, int(check_every)) == 0
+                and int(np.asarray(j_h).min()) > n_burnin):
+            partial = StreamingRun(stats_c, state_c, events, fills,
+                                   n_samples, n_burnin, x_ref)
+            summ = streaming_summary(partial)
+            if summ["converged"] and summ[
+                    "ess_total_worst_coord"] >= float(min_ess):
+                if verbose:
+                    print(
+                        f"[streaming] early stop at fill {fills}: "
+                        f"rhat_max={summ['rhat_max']:.4f} ess_worst="
+                        f"{summ['ess_total_worst_coord']:.0f}"
+                    )
+                break
         if int(np.asarray(fl_h)[1]):
             raise RuntimeError("streaming sampling made no progress")
     state, stats = carry[0], carry[1]
@@ -577,16 +604,28 @@ def streaming_summary(run: StreamingRun, x_ref=None,
     var_plus = (n_half - 1.0) / n_half * W + B_var / n_half
     rhat = np.sqrt(np.where(W > 0, var_plus / np.where(W > 0, W, 1.0), 1.0))
 
-    # batch-means ESS per chain/coordinate
+    # batch-means ESS per chain/coordinate.  Only windows that are (near)
+    # fully populated enter the between-window variance: an early-stopped
+    # run (stop_when_converged) leaves trailing windows empty or partial,
+    # and their zero/noisy means would corrupt var_bm.
+    full = bcount >= np.maximum(
+        0.75 * bcount.max(axis=1, keepdims=True), 1.0)  # (B, M)
+    m_eff = np.maximum(full.sum(axis=1), 2.0)           # (B,)
     bc = np.maximum(bcount, 1.0)[:, :, None]
-    bmu = bsum / bc                                 # (B, M, d) window means
-    var_bm = bmu.var(axis=1, ddof=1)                # (B, d)
-    L = np.maximum(bcount.mean(axis=1), 1.0)[:, None]   # window length
+    bmu = np.where(full[:, :, None], bsum / bc, 0.0)    # (B, M, d)
+    bmean = bmu.sum(axis=1) / m_eff[:, None]            # (B, d)
+    var_bm = (np.where(full[:, :, None],
+                       (bmu - bmean[:, None, :]) ** 2, 0.0).sum(axis=1)
+              / np.maximum(m_eff - 1.0, 1.0)[:, None])  # (B, d)
+    L = (np.where(full, bcount, 0.0).sum(axis=1)
+         / m_eff)[:, None]                              # mean window length
+    L = np.maximum(L, 1.0)
+    n_used = (m_eff * L[:, 0])[:, None]                 # samples in the est.
     ess = np.where(
         var_bm > 0,
-        np.maximum(n_tot[:, None], 1.0) * var_c / (L * np.where(
+        np.maximum(n_used, 1.0) * var_c / (L * np.where(
             var_bm > 0, var_bm, 1.0)),
-        np.maximum(n_tot[:, None], 1.0),
+        np.maximum(n_used, 1.0),
     )                                               # (B, d)
     per_coord = ess.sum(axis=0)
 

@@ -221,6 +221,28 @@ def test_streaming_f32_matches_f64_statistics(monkeypatch):
     assert np.all(np.abs(s32["pooled_mean"] - s64["pooled_mean"]) < 0.5)
 
 
+def test_streaming_early_stop(monkeypatch):
+    """With stop_when_converged, T is a budget: an easy Gaussian run must
+    gate long before the horizon, the partial-window batch-means estimator
+    must stay finite, and the run's fills must be well under what the full
+    budget would need."""
+    monkeypatch.setenv("PDMPFLUX_FORCE_STREAM", "1")
+    B, d = 8, 2
+    sampler = pf.ZigZagAD(d, lambda x: jnp.sum(x * x) / 2)
+    run = streaming.sample_streaming_stats(
+        sampler, 4000.0, np.zeros((B, d)), np.ones((B, d)), seed=3,
+        n_samples=16384, n_batches=32, t_cap=1024, grid_chunk=512,
+        stop_when_converged=True, check_every=2, min_ess=200.0,
+    )
+    summ = streaming.streaming_summary(run)
+    assert summ["converged"], summ["rhat_max"]
+    assert summ["ess_total_worst_coord"] >= 200.0
+    # the full budget needs ~16k events/chain; the gate fires far earlier
+    full_fills_est = 4000.0 * 4.2 / 1024  # rate ~4.2 ev/time/chain
+    assert run.fills < 0.8 * full_fills_est, (run.fills, full_fills_est)
+    assert np.all((summ["pooled_var"] > 0.5) & (summ["pooled_var"] < 2.0))
+
+
 def test_streaming_rejects_bad_args():
     sampler = pf.ZigZagAD(2, lambda x: jnp.sum(x * x) / 2)
     with pytest.raises(ValueError):
