@@ -46,6 +46,8 @@ def main():
     ap.add_argument("--cal-events", type=int, default=2048)
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--t-cap", type=int, default=None)
+    ap.add_argument("--autostop", action="store_true",
+                    help="treat T as a budget: stop when split-R-hat gates (rhat-only checks every ~32 fills)")
     ap.add_argument("--no-write", action="store_true")
     args = ap.parse_args()
 
@@ -97,7 +99,8 @@ def main():
     run = pf.sample_streaming_stats(
         sampler, float(T), x0, v0, n_samples=args.n_samples,
         n_batches=args.n_batches, seed=args.seed + 1, verbose=True,
-        t_cap=args.t_cap, **kw,
+        t_cap=args.t_cap, stop_when_converged=args.autostop,
+        check_every=4, **kw,
     )
     wall = time.time() - t0
     summ = pf.streaming_summary(run, x_ref=x0.mean(axis=0))

@@ -538,16 +538,31 @@ def sample_streaming_stats(
             break
         if (stop_when_converged and groups % max(1, int(check_every)) == 0
                 and int(np.asarray(j_h).min()) > n_burnin):
-            partial = StreamingRun(stats_c, state_c, events, fills,
-                                   n_samples, n_burnin, x_ref)
-            summ = streaming_summary(partial)
-            if summ["converged"] and summ[
-                    "ess_total_worst_coord"] >= float(min_ess):
+            from .diagnostics import RHAT_THRESHOLD
+
+            if float(min_ess) > 0:
+                # full check needs the (B, M, d) window sums too
+                partial = StreamingRun(stats_c, state_c, events, fills,
+                                       n_samples, n_burnin, x_ref)
+                summ = streaming_summary(partial)
+                gated = (summ["converged"] and summ[
+                    "ess_total_worst_coord"] >= float(min_ess))
+                rhat_max = summ["rhat_max"]
+            else:
+                # R-hat-only check: fetch just the half sufficient
+                # statistics (~3 MB at dim 1000 vs ~65 MB for the window
+                # sums — each large fetch costs seconds through a
+                # remote-dispatch tunnel)
+                nh, sh, qh = jax.device_get(
+                    (stats_c.n_half, stats_c.sum_half, stats_c.sumsq_half)
+                )
+                rhat_max = float(_rhat_from_half_stats(nh, sh, qh).max())
+                gated = rhat_max < RHAT_THRESHOLD
+            if gated:
                 if verbose:
                     print(
                         f"[streaming] early stop at fill {fills}: "
-                        f"rhat_max={summ['rhat_max']:.4f} ess_worst="
-                        f"{summ['ess_total_worst_coord']:.0f}"
+                        f"rhat_max={rhat_max:.4f}"
                     )
                 break
         if int(np.asarray(fl_h)[1]):
@@ -556,6 +571,28 @@ def sample_streaming_stats(
     sampler.state = state
     return StreamingRun(stats, state, events, fills, n_samples, n_burnin,
                         x_ref)
+
+
+def _rhat_from_half_stats(n_h, sum_h, sq_h):
+    """Split-R-hat over the 2B half-chains from (count, sum, sum-of-
+    squares) sufficient statistics (float64; the diagnostics.split_rhat
+    formula with equal half lengths by grid design)."""
+    n_h = np.asarray(n_h, np.float64)
+    sum_h = np.asarray(sum_h, np.float64)
+    sq_h = np.asarray(sq_h, np.float64)
+    B = n_h.shape[0]
+    d = sum_h.shape[-1]
+    n_safe = np.maximum(n_h, 1.0)[:, :, None]
+    mu_h = sum_h / n_safe
+    var_h = np.maximum(
+        (sq_h - sum_h * mu_h) / np.maximum(n_h[:, :, None] - 1.0, 1.0), 0.0
+    )
+    n_half = float(np.maximum(n_h.mean(), 2.0))
+    seq_mu = mu_h.reshape(2 * B, d)
+    W = var_h.reshape(2 * B, d).mean(axis=0)
+    B_var = n_half * seq_mu.var(axis=0, ddof=1)
+    var_plus = (n_half - 1.0) / n_half * W + B_var / n_half
+    return np.sqrt(np.where(W > 0, var_plus / np.where(W > 0, W, 1.0), 1.0))
 
 
 def streaming_summary(run: StreamingRun, x_ref=None,
@@ -595,14 +632,7 @@ def streaming_summary(run: StreamingRun, x_ref=None,
         0.0,
     )
 
-    # split-R-hat over the 2B half-chains (diagnostics.split_rhat formula
-    # from sufficient statistics; half lengths are equal by grid design)
-    n_half = float(np.maximum(n_h.mean(), 2.0))
-    seq_mu = mu_h.reshape(2 * B, d)
-    W = var_h.reshape(2 * B, d).mean(axis=0)
-    B_var = n_half * seq_mu.var(axis=0, ddof=1)
-    var_plus = (n_half - 1.0) / n_half * W + B_var / n_half
-    rhat = np.sqrt(np.where(W > 0, var_plus / np.where(W > 0, W, 1.0), 1.0))
+    rhat = _rhat_from_half_stats(s.n_half, s.sum_half, s.sumsq_half)
 
     # batch-means ESS per chain/coordinate.  Only windows that are (near)
     # fully populated enter the between-window variance: an early-stopped
