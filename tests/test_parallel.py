@@ -331,3 +331,36 @@ def test_gspmd_dim_sharding_inserts_collectives():
     res = jitted(state, skel)
     assert (np.asarray(res.skeleton.n_valid) == 20).all()
     assert np.all(np.isfinite(np.asarray(res.skeleton.x)))
+
+
+def test_sharded_checkpoint_resume_bit_exact(sampler, tmp_path, monkeypatch):
+    """Crash a SHARDED run mid-fills (fault injection), resume from the
+    checkpoint, and match an uninterrupted sharded run exactly — the
+    shard_map analogue of test_checkpoint_resume_mid_stream_bit_exact
+    (VERDICT r4 item 8; the loaded host state is resharded onto the mesh
+    by the fill's in-specs)."""
+    monkeypatch.setenv("PDMPFLUX_FORCE_STREAM", "1")
+    monkeypatch.setenv("PDMPFLUX_DEVICE_BYTES", "55000")
+    B, n = 16, 96
+    mesh = mesh_lib.make_mesh(8, 1)
+    x0, v0 = np.zeros((B, DIM)), np.ones((B, DIM))
+
+    ref = sharded.sample_skeleton_sharded(sampler, n, x0, v0, mesh=mesh,
+                                          seed=21, dtype=jnp.float32)
+
+    ckpt = str(tmp_path / "sharded.npz")
+    monkeypatch.setenv("PDMPFLUX_FAIL_AFTER_FILLS", "1")
+    with pytest.raises(RuntimeError, match="fault injection"):
+        sharded.sample_skeleton_sharded(
+            sampler, n, x0, v0, mesh=mesh, seed=21, dtype=jnp.float32,
+            checkpoint_path=ckpt, checkpoint_every=1)
+    assert os.path.exists(ckpt)
+
+    monkeypatch.delenv("PDMPFLUX_FAIL_AFTER_FILLS")
+    resumed = sharded.sample_skeleton_sharded(
+        sampler, n, x0, v0, mesh=mesh, seed=21, dtype=jnp.float32,
+        checkpoint_path=ckpt, checkpoint_every=1)
+    np.testing.assert_array_equal(
+        np.asarray(resumed.skeleton.t), np.asarray(ref.skeleton.t))
+    np.testing.assert_array_equal(
+        np.asarray(resumed.skeleton.x), np.asarray(ref.skeleton.x))
